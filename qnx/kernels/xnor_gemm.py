@@ -1,0 +1,120 @@
+"""XNOR+popcount GEMM Pallas kernels (binary ±1 matmul on packed int32).
+
+The north-star hot op (BASELINE.json): ``QuantizedDense`` becomes a kernel
+that consumes sign-bit-packed activations/weights and computes
+
+    dot[m, n] = K - 2 * sum_kw popcount(xp[m, kw] ^ wp[kw, n])
+
+Two strategies are provided and benchmarked against each other
+(SURVEY.md §7.4 item 1):
+
+* ``popcount`` — Pallas VPU kernel over packed words: one XOR + popcount +
+  add per 32 MACs. 32x memory density; compute bound by VPU int32 ops.
+* ``int8`` — encode ±1 as int8 and use the MXU (int8 matmul at ~394 TOPS on
+  v5e, ~2x bf16). 8x less dense than packed but far higher peak; XLA-level.
+
+The fused inference layers in :mod:`qnx.nn` build on these plus the
+BN-threshold epilogue (:mod:`qnx.kernels.fused_block`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+
+def _interpret_default() -> bool:
+    """Run Pallas in interpreter mode off-TPU (CPU test mesh)."""
+    return jax.default_backend() != "tpu"
+
+
+def _popcount(words: Array) -> Array:
+    return lax.population_count(words)
+
+
+def _xnor_gemm_kernel(x_ref, w_ref, out_ref, *, k: int, kw: int):
+    """One (TM, TN) output tile: rank-1 popcount updates over the packed
+    reduction axis."""
+    x = x_ref[:]  # (TM, Kw) int32 packed
+    w = w_ref[:]  # (Kw, TN) int32 packed
+
+    def body(i, acc):
+        xc = lax.dynamic_slice_in_dim(x, i, 1, axis=1)  # (TM, 1)
+        wr = lax.dynamic_slice_in_dim(w, i, 1, axis=0)  # (1, TN)
+        return acc + _popcount(xc ^ wr)
+
+    tm, tn = out_ref.shape
+    acc = lax.fori_loop(0, kw, body, jnp.zeros((tm, tn), jnp.int32))
+    out_ref[:] = jnp.int32(k) - 2 * acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_m", "block_n", "interpret"))
+def xnor_gemm_popcount(
+    xp: Array,
+    wp: Array,
+    k: int,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool | None = None,
+) -> Array:
+    """Packed binary GEMM via Pallas VPU popcount.
+
+    Args:
+      xp: (M, Kw) int32 — activations packed along K (``pack_bits(x, -1)``).
+      wp: (Kw, N) int32 — weights packed along K (``pack_bits(w, 0)``).
+      k: true (unpadded) reduction length.
+    Returns:
+      (M, N) int32 exact ±1 dot products.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    m, kw = xp.shape
+    kw2, n = wp.shape
+    assert kw == kw2, (xp.shape, wp.shape)
+    bm, bn = min(block_m, m), min(block_n, n)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    return pl.pallas_call(
+        functools.partial(_xnor_gemm_kernel, k=k, kw=kw),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, kw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kw, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=4 * (m * kw + kw * n + m * n),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp)
+
+
+@jax.jit
+def xnor_gemm_int8(x_pm1: Array, w_pm1: Array) -> Array:
+    """MXU strategy: ±1 values held as int8, int8×int8→int32 matmul.
+
+    XLA lowers this straight onto the MXU; at large shapes it beats the VPU
+    popcount kernel (peak int8 ≈ 2× bf16 ≈ 8× f32 on v5e). Inputs are the
+    *unpacked* ±1 tensors (int8)."""
+    return lax.dot_general(
+        x_pm1,
+        w_pm1,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def xnor_gemm(xp, wp, k, strategy: str = "popcount", **kw):
+    """Strategy dispatcher used by benchmarks; see module docstring."""
+    if strategy == "popcount":
+        return xnor_gemm_popcount(xp, wp, k, **kw)
+    raise ValueError(f"unknown strategy {strategy!r} for packed inputs")

@@ -1,0 +1,137 @@
+"""BatchNorm → per-channel integer threshold folding.
+
+At inference, every hidden block of a BinaryNet-style model is
+
+    s = popcount-GEMM(x_bits, w_bits)        (exact int32, ±1 dot)
+    y = gamma * (alpha*s + bias - mu) / sqrt(var + eps) + beta
+    out_bit = +1  iff  y > 0                 (strict; see qnx.ops.quant)
+
+Since s is an integer and everything else is constant per channel, the whole
+float epilogue collapses to ONE integer comparison (XNOR-Net/BinaryNet
+deployment trick; the reference keeps BN in float at inference — SURVEY.md
+§2.4 "BN-threshold folding"):
+
+    out_bit = (sgn[c] * s >= tau[c])
+
+with ``sgn in {+1,-1}`` absorbing the sign of gamma (comparison direction
+flips where gamma < 0) and ``tau = floor(theta) + 1`` encoding the strict
+inequality ``s > theta`` exactly for integer s.  Thresholds are computed in
+float64 at conversion time.
+
+``alpha`` is the real scale carried by the packed weights (e.g. H for
+binarized W = H*sign(W), or the TWN alpha); ``bias`` an optional conv/dense
+bias.  Degenerate gamma == 0 channels become constant bits via saturated
+thresholds.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+INT32_MIN = np.int32(-(2**31))
+INT32_MAX = np.int32(2**31 - 1)
+
+
+@dataclass(frozen=True)
+class SignThreshold:
+    """Per-channel integer sign test: bit[c] = (sgn[c]*s[c] >= tau[c])."""
+
+    sgn: np.ndarray  # (C,) int32 in {+1, -1}
+    tau: np.ndarray  # (C,) int32
+
+    def __iter__(self):  # convenient (sgn, tau) unpacking
+        return iter((self.sgn, self.tau))
+
+
+def _strict_gt_threshold(theta: np.ndarray) -> np.ndarray:
+    """Smallest int32 tau with (s >= tau) == (s > theta) for all int s."""
+    tau = np.floor(theta) + 1.0
+    return np.clip(tau, INT32_MIN, INT32_MAX).astype(np.int64).astype(np.int32)
+
+
+def fold_bn_sign(
+    gamma,
+    beta,
+    mean,
+    var,
+    eps: float,
+    alpha=1.0,
+    bias=None,
+) -> SignThreshold:
+    """Fold BN + strict sign into an integer threshold test.
+
+    Solves  gamma*(alpha*s + bias - mean)/sqrt(var+eps) + beta > 0  for the
+    integer GEMM output s, per channel, in float64.
+    """
+    gamma = np.asarray(gamma, np.float64)
+    beta = np.asarray(beta, np.float64)
+    mean = np.asarray(mean, np.float64)
+    var = np.asarray(var, np.float64)
+    alpha = np.broadcast_to(np.asarray(alpha, np.float64), gamma.shape)
+    bias = (
+        np.zeros_like(gamma)
+        if bias is None
+        else np.broadcast_to(np.asarray(bias, np.float64), gamma.shape)
+    )
+    if np.any(alpha <= 0):
+        raise ValueError("alpha (weight scale) must be positive")
+    std = np.sqrt(var + eps)
+    # y > 0  <=>  gamma * (alpha*s + bias - mean) > -beta * std
+    theta = (mean - bias - beta * std / np.where(gamma == 0, 1.0, gamma)) / alpha
+
+    sgn = np.where(gamma >= 0, 1, -1).astype(np.int32)
+    tau = np.where(
+        sgn == 1, _strict_gt_threshold(theta), _strict_gt_threshold(-theta)
+    ).astype(np.int32)
+    # gamma == 0: y = beta, constant bit
+    const_bit = beta > 0
+    zero = gamma == 0
+    sgn = np.where(zero, 1, sgn).astype(np.int32)
+    tau = np.where(zero, np.where(const_bit, INT32_MIN, INT32_MAX), tau).astype(
+        np.int32
+    )
+    return SignThreshold(sgn=sgn, tau=tau)
+
+
+def fold_sign(alpha=1.0, bias=None, channels: int | None = None) -> SignThreshold:
+    """Sign activation with no BN: bit = (alpha*s + bias > 0)."""
+    c = channels if channels is not None else np.asarray(bias).shape[0]
+    one = np.ones(c)
+    return fold_bn_sign(one, np.zeros(c), np.zeros(c), one - 0.0, 0.0,
+                        alpha=alpha, bias=bias)
+
+
+@dataclass(frozen=True)
+class AffineEpilogue:
+    """Float epilogue for non-sign outputs (logits / multi-bit activations):
+    y[.., c] = a[c] * s[.., c] + c0[c]."""
+
+    a: np.ndarray  # (C,) float32
+    c0: np.ndarray  # (C,) float32
+
+
+def fold_bn_affine(gamma, beta, mean, var, eps, alpha=1.0, bias=None) -> AffineEpilogue:
+    """Collapse (optional) BN over an integer GEMM output into y = a*s + c0."""
+    gamma = np.asarray(gamma, np.float64)
+    beta = np.asarray(beta, np.float64)
+    mean = np.asarray(mean, np.float64)
+    var = np.asarray(var, np.float64)
+    alpha = np.broadcast_to(np.asarray(alpha, np.float64), gamma.shape)
+    bias = (
+        np.zeros_like(gamma)
+        if bias is None
+        else np.broadcast_to(np.asarray(bias, np.float64), gamma.shape)
+    )
+    std = np.sqrt(var + eps)
+    a = gamma * alpha / std
+    c0 = gamma * (bias - mean) / std + beta
+    return AffineEpilogue(a=a.astype(np.float32), c0=c0.astype(np.float32))
+
+
+def fold_affine(alpha=1.0, bias=None, channels: int | None = None) -> AffineEpilogue:
+    """No-BN affine epilogue: y = alpha*s + bias (the typical output head)."""
+    c = channels if channels is not None else np.asarray(bias).shape[0]
+    one = np.ones(c)
+    return fold_bn_affine(one, np.zeros(c), np.zeros(c), one, 0.0,
+                          alpha=alpha, bias=bias)

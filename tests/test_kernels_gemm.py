@@ -1,0 +1,72 @@
+"""Pallas GEMM kernels vs jnp golden references — exact int32 equality on
+tile-edge shapes (SURVEY.md §4.2 item 1). Off-TPU these run in interpreter
+mode automatically."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qnx.kernels.ternary_gemm import ternary_gemm
+from qnx.kernels.xnor_gemm import xnor_gemm_int8, xnor_gemm_popcount
+from qnx.ops import packing as P
+
+
+def rand_pm1(key, shape):
+    return jnp.where(jax.random.bernoulli(key, 0.5, shape), 1.0, -1.0)
+
+
+SHAPES = [
+    (8, 32, 8),       # single word
+    (16, 784, 128),   # MNIST MLP first layer
+    (3, 45, 7),       # nothing aligned
+    (130, 100, 130),  # crosses 128-lane boundary
+    (1, 33, 1),       # degenerate
+]
+
+
+class TestXnorGemmPopcount:
+    @pytest.mark.parametrize("m,k,n", SHAPES)
+    def test_exact_vs_dense(self, m, k, n):
+        kx, kw = jax.random.split(jax.random.PRNGKey(m * 7 + k * 3 + n))
+        x = rand_pm1(kx, (m, k))
+        w = rand_pm1(kw, (k, n))
+        out = xnor_gemm_popcount(P.pack_bits(x, -1), P.pack_bits(w, 0), k)
+        np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+    def test_small_blocks_multi_tile(self):
+        m, k, n = 70, 96, 50
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x, w = rand_pm1(kx, (m, k)), rand_pm1(kw, (k, n))
+        out = xnor_gemm_popcount(
+            P.pack_bits(x, -1), P.pack_bits(w, 0), k, block_m=32, block_n=32
+        )
+        np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+
+class TestXnorGemmInt8:
+    @pytest.mark.parametrize("m,k,n", SHAPES)
+    def test_exact_vs_dense(self, m, k, n):
+        kx, kw = jax.random.split(jax.random.PRNGKey(m + k + n))
+        x = rand_pm1(kx, (m, k))
+        w = rand_pm1(kw, (k, n))
+        out = xnor_gemm_int8(x.astype(jnp.int8), w.astype(jnp.int8))
+        assert out.dtype == jnp.int32
+        np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+
+class TestTernaryGemm:
+    @pytest.mark.parametrize("m,k,n", SHAPES)
+    def test_exact_vs_dense(self, m, k, n):
+        kx, kw = jax.random.split(jax.random.PRNGKey(m * 5 + k + n))
+        x = rand_pm1(kx, (m, k))
+        w = jax.random.randint(kw, (k, n), -1, 2).astype(jnp.float32)
+        mask, sign, nnz = P.pack_ternary(w, axis=0)
+        out = ternary_gemm(P.pack_bits(x, -1), mask, sign, nnz)
+        np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+    def test_all_zero_weights(self):
+        x = rand_pm1(jax.random.PRNGKey(1), (4, 64))
+        w = jnp.zeros((64, 8))
+        mask, sign, nnz = P.pack_ternary(w, axis=0)
+        out = ternary_gemm(P.pack_bits(x, -1), mask, sign, nnz)
+        np.testing.assert_array_equal(out, jnp.zeros((4, 8), jnp.int32))
