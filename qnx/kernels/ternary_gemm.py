@@ -27,18 +27,13 @@ Array = jax.Array
 
 
 def _ternary_gemm_kernel(x_ref, mask_ref, sign_ref, nnz_ref, out_ref, *, kw: int):
-    x = x_ref[:]        # (TM, Kw)
-    mask = mask_ref[:]  # (Kw, TN)
-    sign = sign_ref[:]  # (Kw, TN)
-
-    def body(i, acc):
-        xc = lax.dynamic_slice_in_dim(x, i, 1, axis=1)      # (TM, 1)
-        mr = lax.dynamic_slice_in_dim(mask, i, 1, axis=0)   # (1, TN)
-        sr = lax.dynamic_slice_in_dim(sign, i, 1, axis=0)   # (1, TN)
-        return acc + _popcount(mr & (xc ^ sr))
-
+    # statically unrolled over packed words — see _xnor_gemm_kernel for why
     tm, tn = out_ref.shape
-    acc = lax.fori_loop(0, kw, body, jnp.zeros((tm, tn), jnp.int32))
+    acc = jnp.zeros((tm, tn), jnp.int32)
+    for i in range(kw):
+        acc = acc + _popcount(
+            mask_ref[i:i + 1, :] & (x_ref[:, i:i + 1] ^ sign_ref[i:i + 1, :])
+        )
     out_ref[:] = nnz_ref[:] - 2 * acc
 
 

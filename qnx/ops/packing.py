@@ -86,6 +86,34 @@ def pack_ternary(w: Array, axis: int = 0):
     return mask, sign, nnz
 
 
+def pack_bits_np(x: "np.ndarray", axis: int = -1) -> "np.ndarray":
+    """Host-side (numpy) pack_bits — identical layout/convention to
+    :func:`pack_bits`; used by the conversion pass so no device round-trips
+    happen at convert time."""
+    import numpy as np
+
+    x = np.moveaxis(np.asarray(x), axis, -1)
+    k = x.shape[-1]
+    kw = packed_len(k)
+    bits = x > 0
+    bits = np.pad(bits, [(0, 0)] * (bits.ndim - 1) + [(0, kw * WORD - k)])
+    bits = bits.reshape(*bits.shape[:-1], kw, WORD).astype(np.uint32)
+    shifts = np.arange(WORD, dtype=np.uint32)
+    words = np.sum(bits << shifts, axis=-1, dtype=np.uint32).view(np.int32)
+    return np.moveaxis(words, -1, axis)
+
+
+def pack_ternary_np(w: "np.ndarray", axis: int = 0):
+    """Host-side (numpy) pack_ternary — same contract as :func:`pack_ternary`."""
+    import numpy as np
+
+    w = np.asarray(w)
+    mask = pack_bits_np(np.where(w != 0, 1.0, -1.0), axis=axis)
+    sign = pack_bits_np(w, axis=axis)
+    nnz = np.sum(w != 0, axis=axis, dtype=np.int32)
+    return mask, sign, nnz
+
+
 def popcount(words: Array) -> Array:
     """Population count of int32 words (bitcast through uint32)."""
     return lax.population_count(lax.bitcast_convert_type(words, jnp.uint32)).astype(

@@ -150,8 +150,11 @@ def quantized_tanh(x: Array, nb: int = 16) -> Array:
 
 def glorot_scale(fan_in: int, fan_out: int) -> float:
     """H = sqrt(1.5/(fan_in+fan_out)) — the 'Glorot' weight scale used by the
-    quantized layers when H='Glorot' (SURVEY.md §2.3)."""
-    return float(jnp.sqrt(1.5 / (fan_in + fan_out)))
+    quantized layers when H='Glorot' (SURVEY.md §2.3). Pure Python (host-side
+    constant — must stay concrete under jit tracing)."""
+    import math
+
+    return math.sqrt(1.5 / (fan_in + fan_out))
 
 
 def clip_weights(w: Array, H: float = 1.0) -> Array:

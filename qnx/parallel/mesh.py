@@ -1,0 +1,51 @@
+"""Device mesh construction: one Mesh('data', 'model') drives everything.
+
+The reference is single-device (SURVEY.md §2.2 — no DP/TP/PP anywhere); the
+north star requires DP over image streams + TP over packed output channels,
+riding ICI.  All distribution in qnx goes through the mesh built here plus
+NamedSharding rules (:mod:`qnx.parallel.sharding`) — no hand-rolled
+communication (SURVEY.md §7.5).
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_devices: int | None = None, model_parallel: int | None = None,
+              devices=None) -> Mesh:
+    """Build a (data, model) mesh over ``n_devices``.
+
+    ``model_parallel`` fixes the TP degree; default picks the largest power
+    of two ≤ sqrt(n) so both axes are nontrivial when possible."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if model_parallel is None:
+        model_parallel = 1
+        while model_parallel * 2 <= math.isqrt(n) * 2 and n % (model_parallel * 2) == 0 \
+                and model_parallel * 2 <= n:
+            if model_parallel * 2 > math.isqrt(n):
+                break
+            model_parallel *= 2
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch-sharded images/labels (DP over the image stream)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,216 @@
+"""Training loop: optax Adam + epoch-wise exponential LR decay + squared
+hinge loss + post-update Clip constraint and per-kernel LR multipliers.
+
+This is the TPU-native equivalent of the reference's ``Train.py``
+(SURVEY.md §3.1): ``model.compile(Adam(lr), loss=squared_hinge)`` +
+``model.fit`` with a ``LearningRateScheduler`` (exponential decay,
+BinaryNet-style 1e-3 -> 1e-6) and the ``Clip`` weight constraint applied
+after every update.  Instead of Keras callbacks everything is a pure jitted
+step function over an explicit TrainState.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from qnx.models.factory import build_model, init_model
+from qnx.utils.config import Config
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# losses (reference: squared hinge on ±1 one-hot targets — BinaryNet canon —
+# or categorical crossentropy; SURVEY.md §2.3 "Loss")
+# ---------------------------------------------------------------------------
+
+def squared_hinge(logits: Array, targets_pm1: Array) -> Array:
+    """mean over batch and classes of max(0, 1 - y*t)^2, targets in ±1."""
+    return jnp.mean(jnp.square(jax.nn.relu(1.0 - logits * targets_pm1)))
+
+
+def make_loss(cf: Config) -> Callable[[Array, Array], Array]:
+    if cf.loss == "squared_hinge":
+        def fn(logits, labels):
+            t = 2.0 * jax.nn.one_hot(labels, cf.classes) - 1.0
+            return squared_hinge(logits, t)
+        return fn
+    if cf.loss == "crossentropy":
+        def fn(logits, labels):
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+        return fn
+    raise ValueError(f"unknown loss {cf.loss!r}")
+
+
+def exp_decay_schedule(cf: Config, steps_per_epoch: int):
+    """BinaryNet LR schedule: lr_start -> lr_end, exponential per epoch."""
+    n = max(cf.epochs - 1, 1)
+    decay = (cf.lr_end / cf.lr_start) ** (1.0 / n)
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return cf.lr_start * decay ** jnp.minimum(epoch, cf.epochs)
+
+    return schedule
+
+
+# ---------------------------------------------------------------------------
+# quant-kernel tree utilities (Clip constraint + kernel_lr_multiplier)
+# ---------------------------------------------------------------------------
+
+def _map_quant_kernels(params, quant, fn):
+    """Apply fn(kernel, meta) to every param kernel that has quant metadata.
+
+    ``quant`` mirrors the module tree with leaf dicts {'H', 'lr_mult'}."""
+    params = core.unfreeze(params)
+    quant = core.unfreeze(quant)
+
+    def rec(p, q):
+        out = {}
+        for k, v in p.items():
+            if k in q and isinstance(q[k], dict):
+                if "H" in q[k]:  # quantized layer: update its kernel
+                    sub = dict(v)
+                    sub["kernel"] = fn(v["kernel"], q[k])
+                    out[k] = sub
+                else:
+                    out[k] = rec(v, q[k])
+            else:
+                out[k] = v
+        return out
+
+    return rec(params, quant)
+
+
+def clip_constraint(params, quant):
+    """Latent-weight Clip: w <- clip(w, -H, H) after each update."""
+    return _map_quant_kernels(
+        params, quant, lambda w, m: jnp.clip(w, -m["H"], m["H"])
+    )
+
+
+def scale_kernel_grads(grads, quant):
+    """Per-kernel LR multiplier (1/H for Glorot H, arXiv:1511.00363)."""
+    return _map_quant_kernels(grads, quant, lambda g, m: g * m["lr_mult"])
+
+
+# ---------------------------------------------------------------------------
+# train state / steps
+# ---------------------------------------------------------------------------
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    quant: Any = struct.field(pytree_node=True)
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+    loss_fn: Callable = struct.field(pytree_node=False)
+
+
+def create_train_state(cf: Config, rng: Array, steps_per_epoch: int) -> TrainState:
+    module, variables = init_model(cf, rng)
+    params = variables["params"]
+    quant = variables.get("quant", {})
+    batch_stats = variables.get("batch_stats", {})
+    tx = optax.adam(exp_decay_schedule(cf, steps_per_epoch))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        quant=quant,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+        apply_fn=module.apply,
+        loss_fn=make_loss(cf),
+    )
+
+
+@jax.jit
+def train_step(state: TrainState, images: Array, labels: Array):
+    """One SGD step: forward (training-mode BN), STE backward, Adam update,
+    LR-multiplier scaling, Clip constraint. Returns (state, metrics)."""
+
+    def loss_fn(params):
+        logits, updates = state.apply_fn(
+            {"params": params, "quant": state.quant,
+             "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        return state.loss_fn(logits, labels), (logits, updates)
+
+    (loss, (logits, updates)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    grads = scale_kernel_grads(grads, state.quant)
+    ups, opt_state = state.tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, ups)
+    params = clip_constraint(params, state.quant)
+    acc = jnp.mean(jnp.argmax(logits, -1) == labels)
+    state = state.replace(
+        step=state.step + 1,
+        params=params,
+        opt_state=opt_state,
+        batch_stats=updates["batch_stats"],
+    )
+    return state, {"loss": loss, "accuracy": acc}
+
+
+@jax.jit
+def eval_step(state: TrainState, images: Array, labels: Array):
+    logits = state.apply_fn(
+        {"params": state.params, "quant": state.quant,
+         "batch_stats": state.batch_stats},
+        images, train=False,
+    )
+    return {
+        "loss": state.loss_fn(logits, labels),
+        "accuracy": jnp.mean(jnp.argmax(logits, -1) == labels),
+        "count": jnp.int32(labels.shape[0]),
+    }
+
+
+def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None):
+    """model.fit equivalent: train cf.epochs over (x_train, y_train) and
+    report test accuracy per epoch. ``data`` = ((x_train, y_train),
+    (x_test, y_test)) as numpy/jnp arrays, images already in [-1, 1]."""
+    (x_train, y_train), (x_test, y_test) = data
+    n = x_train.shape[0]
+    steps_per_epoch = max(n // cf.batch_size, 1)
+    rng = jax.random.PRNGKey(cf.seed) if rng is None else rng
+    state = create_train_state(cf, rng, steps_per_epoch)
+    history = []
+    for epoch in range(cf.epochs):
+        rng, shuf = jax.random.split(rng)
+        perm = jax.random.permutation(shuf, n)
+        for i in range(steps_per_epoch):
+            idx = perm[i * cf.batch_size:(i + 1) * cf.batch_size]
+            state, metrics = train_step(state, x_train[idx], y_train[idx])
+        test = evaluate(state, x_test, y_test, cf.batch_size)
+        history.append({"epoch": epoch, "train": jax.device_get(metrics),
+                        "test": test})
+        if log_every and (epoch % log_every == 0 or epoch == cf.epochs - 1):
+            print(f"epoch {epoch}: train_loss={float(metrics['loss']):.4f} "
+                  f"test_acc={test['accuracy']:.4f}", flush=True)
+    return state, history
+
+
+def evaluate(state: TrainState, x: Array, y: Array, batch_size: int = 1000):
+    """Batched eval; returns dict with overall accuracy/loss."""
+    n = x.shape[0]
+    tot, correct, loss_sum = 0, 0.0, 0.0
+    for i in range(0, n, batch_size):
+        m = eval_step(state, x[i:i + batch_size], y[i:i + batch_size])
+        c = int(m["count"])
+        tot += c
+        correct += float(m["accuracy"]) * c
+        loss_sum += float(m["loss"]) * c
+    return {"accuracy": correct / tot, "loss": loss_sum / tot}
