@@ -1,0 +1,116 @@
+"""Microbenchmark harness: correct kernel timing on (remote) TPU.
+
+Three traps this harness exists to avoid (ALL observed on this hardware —
+see .claude/skills/verify/SKILL.md):
+
+1. **`block_until_ready` does not block** through the axon remote relay —
+   it returns at dispatch. Only host readback (`jax.device_get` / `float()`)
+   actually synchronizes. Every timing here ends with a readback.
+2. **Dead-code elimination**: consuming only ``out[0, 0]`` lets XLA slice a
+   GEMM to a single dot product. Consume the whole output.
+3. **Algebraic reassociation**: ``sum(x @ w) == colsum(x) @ rowsum(w)`` —
+   XLA rewrites it to O(MK+KN) vector ops. Put a nonlinearity (abs) between
+   the GEMM and the reduction.
+
+Per-call relay latency is ~20-30 ms, so single-call timings are dominated by
+round-trip overhead; ``chain_time`` amortizes it by chaining ``iters``
+dependent calls inside ONE jit and reads back a scalar at the end.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def _sync(x) -> None:
+    jax.tree.map(lambda a: jax.device_get(a), x)
+
+
+def chain_time(call: Callable, x: Array, w, *, mix: Callable,
+               acc0: Array, iters: int = 8, repeats: int = 3) -> float:
+    """Marginal seconds/call of ``call(mix(x, carry), w)``: ``iters``
+    dependent calls inside one jit, synchronized by scalar readback.
+    carry = sum(abs(out)) — DCE- and reassociation-proof."""
+
+    def loop_n(n):
+        @jax.jit
+        def loop(x, w):
+            carry = acc0
+            for _ in range(n):
+                out = call(mix(x, carry), w)
+                carry = carry + jnp.sum(jnp.abs(out).astype(jnp.float32))
+            return carry
+        return loop
+
+    long, short = loop_n(iters), loop_n(1)
+    _sync(long(x, w))   # compile
+    _sync(short(x, w))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(long(x, w))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(short(x, w))
+        t_short = time.perf_counter() - t0
+        # marginal cost excludes the fixed relay round-trip
+        best = min(best, (t_long - t_short) / (iters - 1))
+    return best
+
+
+def gemm_tmacs(m: int, n: int, k: int, seconds: float) -> float:
+    """Effective tera-MACs/s of an (m, k) x (k, n) product."""
+    return m * n * k / seconds / 1e12
+
+
+def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Wall time per call of a jitted fn, synchronized by device_get of the
+    output (relay round-trip included — appropriate for end-to-end model
+    forwards where the result must reach the host anyway)."""
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def time_fn_marginal(fn: Callable, *args, iters: int = 8,
+                     repeats: int = 3) -> float:
+    """Marginal per-call device time of fn(input, *rest), excluding relay
+    round-trip: compares a jit running fn iters times against one running it
+    once. The float input (first arg) is perturbed by the accumulating carry
+    each iteration so CSE cannot collapse the repeated calls."""
+
+    def loop_n(n):
+        @jax.jit
+        def loop(x, *rest):
+            def body(_, carry):
+                # runtime-zero perturbation in x's own dtype: not constant-
+                # foldable, so repeated calls cannot be CSE'd away
+                pert = (carry * jnp.float32(1e-30)).astype(x.dtype)
+                out = fn(x + pert, *rest)
+                first = jax.tree.leaves(out)[0]
+                return carry + jnp.sum(jnp.abs(first).astype(jnp.float32))
+
+            return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+        return loop
+
+    long, short = loop_n(iters), loop_n(1)
+    _sync(long(*args))
+    _sync(short(*args))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync(long(*args))
+        t_long = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync(short(*args))
+        t_short = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (iters - 1))
+    return best

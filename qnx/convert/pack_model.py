@@ -146,3 +146,412 @@ def pack_mlp(variables: dict, cf: Config) -> I.PackedMLP:
             a=jnp.asarray(aff.a), c=jnp.asarray(aff.c0), k=latent.shape[0])
 
     return I.PackedMLP(first=first, hidden=tuple(hidden), head=head)
+
+
+def pack_vgg_bitplane(variables: dict, cf: Config) -> I.PlaneVGG:
+    """Lower a trained QuantVGG with n-bit activations (abits > 1) and
+    ternary/binary weights into a :class:`qnx.nn.inference.PlaneVGG`
+    (the CIFAR-10 'ternary weights + 2-bit activations' baseline config).
+
+    Activations decompose into {0,1} bit-planes (x = q * sum 2^j b_j), the
+    effective GEMM scale becomes alpha*q, and BN + quantized_relu fold into
+    multi-level integer thresholds (fold_bn_levels)."""
+    from qnx.kernels.xnor_conv import pack_conv_ternary_np
+    from qnx.transforms.bn_fold import fold_bn_levels
+
+    if cf.architecture != "vgg":
+        raise ValueError("pack_vgg_bitplane expects a vgg config")
+    if cf.abits < 2 or cf.network_type not in ("full-tnn", "full-bnn"):
+        raise ValueError(
+            "bitplane VGG path requires abits >= 2 with ternary/binary "
+            f"weights; got {cf.network_type}/abits={cf.abits}"
+        )
+    ternary = cf.network_type == "full-tnn"
+    params = variables["params"]
+    quant = variables.get("quant", {})
+    stats = variables["batch_stats"]
+    eps = cf.batch_norm_epsilon
+    nb = cf.abits
+    q = 2.0 ** (1 - nb)
+    hin, win, _ = cf.input_shape
+
+    def get(name):
+        latent = _np(params[name]["kernel"])
+        bias = _np(params[name]["bias"]) if "bias" in params[name] else None
+        h = float(quant[name]["H"]) if name in quant else None
+        return latent, h, bias
+
+    def weight_planes_conv(latent, h):
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        else:
+            pattern, alpha = _binary_pattern(latent, h), h
+        mask, sign, _ = pack_conv_ternary_np(pattern)
+        return mask, mask & sign, alpha
+
+    def weight_planes_dense(pattern):
+        mask, sign, _ = P.pack_ternary_np(pattern, axis=0)
+        return mask, mask & sign
+
+    # first conv: float path -> planes
+    latent, h, bias = get("conv_0")
+    if h is None:
+        w0 = latent.astype(np.float32)
+    elif ternary:
+        pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        w0 = (pattern * alpha).astype(np.float32)
+    else:
+        w0 = (_binary_pattern(latent, h) * h).astype(np.float32)
+    bn = _bn(params, stats, "bn_conv_0", eps)
+    first = I.FloatConvPlanes(
+        w=jnp.asarray(w0),
+        bias=None if bias is None else jnp.asarray(bias),
+        bn_scale=jnp.asarray(bn["gamma"]), bn_bias=jnp.asarray(bn["beta"]),
+        bn_mean=jnp.asarray(bn["mean"]), bn_var=jnp.asarray(bn["var"]),
+        bn_eps=eps, nb=nb, pool=False,
+    )
+
+    convs = []
+    sh, sw = hin, win
+    for i in range(1, 6):
+        if i in (2, 4):
+            sh, sw = sh // 2, sw // 2
+        latent, h, bias = get(f"conv_{i}")
+        bn = _bn(params, stats, f"bn_conv_{i}", eps)
+        mask, msign, alpha = weight_planes_conv(latent, h)
+        lt = fold_bn_levels(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                            eps, nb, alpha=alpha * q, bias=bias)
+        convs.append(I.PlaneConvTernary(
+            mask=jnp.asarray(mask), msign=jnp.asarray(msign),
+            sgn=jnp.asarray(lt.sgn), tau=jnp.asarray(lt.tau),
+            nb=nb, pool=i % 2 == 1))
+
+    fh, fw = sh // 2, sw // 2
+    c_last = _np(params["conv_5"]["kernel"]).shape[-1]
+    denses = []
+    for j in range(2):
+        latent, h, bias = get(f"dense_{j}")
+        bn = _bn(params, stats, f"bn_dense_{j}", eps)
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        else:
+            pattern, alpha = _binary_pattern(latent, h), h
+        if j == 0:  # per-position packing to match the plane flatten
+            n = pattern.shape[1]
+            p3 = pattern.reshape(fh * fw, c_last, n)
+            mask, sign, _ = P.pack_ternary_np(p3, axis=1)
+            mask = mask.reshape(-1, n)
+            sign = sign.reshape(-1, n)
+            msign = mask & sign
+        else:
+            mask, msign = weight_planes_dense(pattern)
+        lt = fold_bn_levels(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                            eps, nb, alpha=alpha * q, bias=bias)
+        denses.append(I.PlaneDenseTernary(
+            mask=jnp.asarray(mask), msign=jnp.asarray(msign),
+            sgn=jnp.asarray(lt.sgn), tau=jnp.asarray(lt.tau), nb=nb))
+
+    # head
+    latent, h, bias = get("dense_out")
+    bn = _bn(params, stats, "bn_out", eps)
+    if "dense_out" not in quant:
+        head = I.FloatDenseLogitsFromPlanes(
+            w=jnp.asarray(latent.astype(np.float32)),
+            bias=None if bias is None else jnp.asarray(bias),
+            bn_scale=jnp.asarray(bn["gamma"]), bn_bias=jnp.asarray(bn["beta"]),
+            bn_mean=jnp.asarray(bn["mean"]), bn_var=jnp.asarray(bn["var"]),
+            bn_eps=eps, k=latent.shape[0], q=q)
+    else:
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        else:
+            pattern, alpha = _binary_pattern(latent, h), h
+        aff = fold_bn_affine(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                             eps, alpha=alpha * q, bias=bias)
+        mask, msign = weight_planes_dense(pattern)
+        head = I.PlaneDenseLogits(
+            mask=jnp.asarray(mask), msign=jnp.asarray(msign),
+            a=jnp.asarray(aff.a), c=jnp.asarray(aff.c0))
+
+    return I.PlaneVGG(first=first, convs=tuple(convs), denses=tuple(denses),
+                      head=head)
+
+
+def pack_int8(variables: dict, cf: Config):
+    """Lower a trained model into the INT8-MXU engine
+    (:mod:`qnx.nn.int8_engine`) — same integer semantics as the packed
+    popcount engine, weights as int8 {-1,0,+1}, activations as int8 ±1 or
+    level indices.  Handles every quantized config (binary/ternary weights,
+    abits >= 1, mlp and vgg, float/quantized boundary layers)."""
+    from qnx.nn import int8_engine as E
+    from qnx.transforms.bn_fold import fold_bn_levels
+
+    if cf.network_type not in ("full-bnn", "full-tnn"):
+        raise ValueError(f"int8 engine requires full-bnn/full-tnn; got "
+                         f"{cf.network_type}")
+    ternary = cf.network_type == "full-tnn"
+    params = variables["params"]
+    quant = variables.get("quant", {})
+    stats = variables["batch_stats"]
+    eps = cf.batch_norm_epsilon
+    nb = cf.abits
+    act = "pm1" if nb == 1 else "levels"
+    q_in = 1.0 if nb == 1 else 2.0 ** (1 - nb)
+
+    def get(name):
+        latent = _np(params[name]["kernel"])
+        bias = _np(params[name]["bias"]) if "bias" in params[name] else None
+        h = float(quant[name]["H"]) if name in quant else None
+        return latent, h, bias
+
+    def pattern_alpha(latent, h):
+        if ternary:
+            return _ternary_pattern(latent, h, cf.ternary_style)
+        return _binary_pattern(latent, h), h
+
+    def bn_of(name):
+        return _bn(params, stats, name, eps)
+
+    def fold_hidden(bn, alpha, bias):
+        if act == "pm1":
+            thr = fold_bn_sign(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                               eps, alpha=alpha * q_in, bias=bias)
+            return jnp.asarray(thr.sgn), jnp.asarray(thr.tau)
+        lt = fold_bn_levels(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                            eps, nb, alpha=alpha * q_in, bias=bias)
+        return jnp.asarray(lt.sgn), jnp.asarray(lt.tau)
+
+    def first_quant_w(latent, h):
+        """First layer weights as f32 values (quantized if not float)."""
+        if h is None:
+            return latent.astype(np.float32)
+        pattern, alpha = pattern_alpha(latent, h)
+        return (pattern * alpha).astype(np.float32)
+
+    def bn_kwargs(bn):
+        return dict(bn_scale=jnp.asarray(bn["gamma"]),
+                    bn_bias=jnp.asarray(bn["beta"]),
+                    bn_mean=jnp.asarray(bn["mean"]),
+                    bn_var=jnp.asarray(bn["var"]), bn_eps=eps)
+
+    def head_layer(name, bn_name):
+        latent, h, bias = get(name)
+        bn = bn_of(bn_name)
+        if name not in quant:
+            return E.I8FloatHead(
+                w=jnp.asarray(latent.astype(np.float32)),
+                bias=None if bias is None else jnp.asarray(bias),
+                q=q_in, **bn_kwargs(bn))
+        pattern, alpha = pattern_alpha(latent, h)
+        aff = fold_bn_affine(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                             eps, alpha=alpha * q_in, bias=bias)
+        return E.I8DenseLogits(w8=jnp.asarray(pattern.astype(np.int8)),
+                               a=jnp.asarray(aff.a), c=jnp.asarray(aff.c0))
+
+    if cf.architecture == "mlp":
+        latent, h, bias = get("dense_0")
+        first = E.I8FirstDense(
+            w=jnp.asarray(first_quant_w(latent, h)),
+            bias=None if bias is None else jnp.asarray(bias),
+            act=act, nb=nb, **bn_kwargs(bn_of("bn_0")))
+        hidden = []
+        for i in range(1, cf.num_hidden):
+            latent, h, bias = get(f"dense_{i}")
+            pattern, alpha = pattern_alpha(latent, h)
+            sgn, tau = fold_hidden(bn_of(f"bn_{i}"), alpha, bias)
+            hidden.append(E.I8Dense(w8=jnp.asarray(pattern.astype(np.int8)),
+                                    sgn=sgn, tau=tau, act=act))
+        return E.I8MLP(first=first, hidden=tuple(hidden),
+                       head=head_layer("dense_out", "bn_out"))
+
+    if cf.architecture == "vgg":
+        latent, h, bias = get("conv_0")
+        first = E.I8FirstConv(
+            w=jnp.asarray(first_quant_w(latent, h)),
+            bias=None if bias is None else jnp.asarray(bias),
+            act=act, nb=nb, pool=False, **bn_kwargs(bn_of("bn_conv_0")))
+        convs = []
+        for i in range(1, 6):
+            latent, h, bias = get(f"conv_{i}")
+            pattern, alpha = pattern_alpha(latent, h)
+            sgn, tau = fold_hidden(bn_of(f"bn_conv_{i}"), alpha, bias)
+            convs.append(E.I8Conv(w8=jnp.asarray(pattern.astype(np.int8)),
+                                  sgn=sgn, tau=tau, act=act, pool=i % 2 == 1))
+        denses = []
+        for j in range(2):
+            latent, h, bias = get(f"dense_{j}")
+            pattern, alpha = pattern_alpha(latent, h)
+            sgn, tau = fold_hidden(bn_of(f"bn_dense_{j}"), alpha, bias)
+            denses.append(E.I8Dense(w8=jnp.asarray(pattern.astype(np.int8)),
+                                    sgn=sgn, tau=tau, act=act))
+        return E.I8VGG(first=first, convs=tuple(convs), denses=tuple(denses),
+                       head=head_layer("dense_out", "bn_out"))
+
+    raise ValueError(f"unknown architecture {cf.architecture!r}")
+
+
+def _pack_dense_per_position(pattern: np.ndarray, h: int, w: int, c: int):
+    """Pack a (h*w*c, N) dense pattern whose input is the flatten of packed
+    (h, w, Cw) conv bits: pack along C per spatial position so word layout
+    matches the runtime flatten. Returns (wp (h*w*Cw, N), k_true)."""
+    n = pattern.shape[1]
+    p = pattern.reshape(h * w, c, n)
+    wp = P.pack_bits_np(p, axis=1)  # (h*w, Cw, N)
+    return wp.reshape(-1, n), h * w * c
+
+
+def pack_vgg(variables: dict, cf: Config) -> I.PackedVGG:
+    """Lower a trained QuantVGG (binary activations, abits=1) into a
+    :class:`qnx.nn.inference.PackedVGG`.
+
+    Multi-bit activations (abits>1, the CIFAR-10 TNN config) go through
+    :func:`pack_vgg_bitplane` once available (Phase C)."""
+    from qnx.kernels.xnor_conv import (pack_conv_ternary_np,
+                                       pack_conv_weights_np,
+                                       padding_correction)
+
+    if cf.architecture != "vgg":
+        raise ValueError("pack_vgg expects a vgg config")
+    if cf.abits != 1 or cf.network_type not in ("full-bnn", "full-tnn"):
+        raise ValueError(
+            "packed VGG path requires binary activations (abits=1); "
+            f"got {cf.network_type}/abits={cf.abits}"
+        )
+    ternary = cf.network_type == "full-tnn"
+    params = variables["params"]
+    quant = variables.get("quant", {})
+    stats = variables["batch_stats"]
+    eps = cf.batch_norm_epsilon
+    hin, win, _ = cf.input_shape
+
+    def conv_weights(name):
+        latent = _np(params[name]["kernel"])  # (kh,kw,C,N)
+        bias = _np(params[name]["bias"]) if "bias" in params[name] else None
+        h = float(quant[name]["H"]) if name in quant else None
+        return latent, h, bias
+
+    # ---- first conv: float path -> bits
+    latent, h, bias = conv_weights("conv_0")
+    if h is None:  # float first layer (cf.first_layer_float)
+        w0 = latent.astype(np.float32)
+    elif ternary:
+        pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        w0 = (pattern * alpha).astype(np.float32)
+    else:
+        w0 = (_binary_pattern(latent, h) * h).astype(np.float32)
+    bn = _bn(params, stats, "bn_conv_0", eps)
+    first = I.FloatConvBits(
+        w=jnp.asarray(w0),
+        bias=None if bias is None else jnp.asarray(bias),
+        bn_scale=jnp.asarray(bn["gamma"]), bn_bias=jnp.asarray(bn["beta"]),
+        bn_mean=jnp.asarray(bn["mean"]), bn_var=jnp.asarray(bn["var"]),
+        bn_eps=eps, pool=False,
+    )
+
+    # ---- packed conv blocks 1..5 (pool after odd layers, spatial halves)
+    convs = []
+    sh, sw = hin, win  # spatial dims at the INPUT of each conv
+    for i in range(1, 6):
+        if i == 2 or i == 4:
+            sh, sw = sh // 2, sw // 2
+        latent, h, bias = conv_weights(f"conv_{i}")
+        bn = _bn(params, stats, f"bn_conv_{i}", eps)
+        pool = i % 2 == 1
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+            mask, sign, nnz = pack_conv_ternary_np(pattern)
+            corr = padding_correction(pattern, sh, sw)
+            thr = fold_bn_sign(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                               eps, alpha=alpha, bias=bias)
+            convs.append(I.TernaryConvBits(
+                mask=jnp.asarray(mask), sign=jnp.asarray(sign),
+                nnz=jnp.asarray(nnz), corr=jnp.asarray(corr),
+                sgn=jnp.asarray(thr.sgn), tau=jnp.asarray(thr.tau), pool=pool))
+        else:
+            pattern = _binary_pattern(latent, h)
+            wp, k = pack_conv_weights_np(pattern)
+            corr = padding_correction(pattern, sh, sw)
+            thr = fold_bn_sign(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                               eps, alpha=h, bias=bias)
+            convs.append(I.PackedConvBits(
+                wp=jnp.asarray(wp), corr=jnp.asarray(corr),
+                sgn=jnp.asarray(thr.sgn), tau=jnp.asarray(thr.tau),
+                k=k, pool=pool))
+
+    # ---- dense stack: dense_0 consumes the per-position packed flatten
+    fh, fw = sh // 2, sw // 2  # after conv_5's pool
+    c_last = _np(params["conv_5"]["kernel"]).shape[-1]
+    denses = []
+    for j in range(2):
+        name = f"dense_{j}"
+        latent = _np(params[name]["kernel"])
+        h = float(quant[name]["H"])
+        bias = _np(params[name]["bias"]) if "bias" in params[name] else None
+        bn = _bn(params, stats, f"bn_dense_{j}", eps)
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+        else:
+            pattern, alpha = _binary_pattern(latent, h), h
+        if j == 0:
+            if ternary:
+                # per-position two-plane packing
+                n = pattern.shape[1]
+                p3 = pattern.reshape(fh * fw, c_last, n)
+                mask, sign, nnz = P.pack_ternary_np(p3, axis=1)
+                mask = mask.reshape(-1, n)
+                sign = sign.reshape(-1, n)
+                nnz = nnz.sum(axis=0) if nnz.ndim == 2 else nnz
+            else:
+                wp, k = _pack_dense_per_position(pattern, fh, fw, c_last)
+        else:
+            if ternary:
+                mask, sign, nnz = P.pack_ternary_np(pattern, axis=0)
+            else:
+                wp = P.pack_bits_np(pattern, axis=0)
+                k = pattern.shape[0]
+        thr = fold_bn_sign(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
+                           eps, alpha=alpha, bias=bias)
+        if ternary:
+            denses.append(I.TernaryDenseBits(
+                mask=jnp.asarray(mask), sign=jnp.asarray(sign),
+                nnz=jnp.asarray(nnz),
+                sgn=jnp.asarray(thr.sgn), tau=jnp.asarray(thr.tau)))
+        else:
+            denses.append(I.PackedDenseBits(
+                wp=jnp.asarray(wp), sgn=jnp.asarray(thr.sgn),
+                tau=jnp.asarray(thr.tau), k=k))
+
+    # ---- head
+    name = "dense_out"
+    latent = _np(params[name]["kernel"])
+    bias = _np(params[name]["bias"]) if "bias" in params[name] else None
+    bn = _bn(params, stats, "bn_out", eps)
+    if name not in quant:  # float head over ±1 activations
+        head = I.FloatDenseLogitsFromBits(
+            w=jnp.asarray(latent.astype(np.float32)),
+            bias=None if bias is None else jnp.asarray(bias),
+            bn_scale=jnp.asarray(bn["gamma"]), bn_bias=jnp.asarray(bn["beta"]),
+            bn_mean=jnp.asarray(bn["mean"]), bn_var=jnp.asarray(bn["var"]),
+            bn_eps=eps, k=latent.shape[0])
+    else:
+        h = float(quant[name]["H"])
+        if ternary:
+            pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
+            aff = fold_bn_affine(bn["gamma"], bn["beta"], bn["mean"],
+                                 bn["var"], eps, alpha=alpha, bias=bias)
+            mask, sign, nnz = P.pack_ternary_np(pattern, axis=0)
+            head = I.TernaryDenseLogits(
+                mask=jnp.asarray(mask), sign=jnp.asarray(sign),
+                nnz=jnp.asarray(nnz),
+                a=jnp.asarray(aff.a), c=jnp.asarray(aff.c0))
+        else:
+            pattern = _binary_pattern(latent, h)
+            aff = fold_bn_affine(bn["gamma"], bn["beta"], bn["mean"],
+                                 bn["var"], eps, alpha=h, bias=bias)
+            head = I.PackedDenseLogits(
+                wp=jnp.asarray(P.pack_bits_np(pattern, axis=0)),
+                a=jnp.asarray(aff.a), c=jnp.asarray(aff.c0),
+                k=latent.shape[0])
+
+    return I.PackedVGG(first=first, convs=tuple(convs), denses=tuple(denses),
+                       head=head)

@@ -134,6 +134,309 @@ class FloatDenseLogits(struct.PyTreeNode):
         return (y - self.bn_mean) * mul + self.bn_bias
 
 
+class FloatConvBits(struct.PyTreeNode):
+    """Float first conv layer: f32 conv (+bias) -> BN -> sign bits packed
+    along channels. Optional 2x2 maxpool BEFORE BN (BinaryNet ordering)."""
+
+    w: Array                     # (kh, kw, C, N) f32 (quantized values or float)
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, x: Array) -> Array:
+        y = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.bias is not None:
+            y = y + self.bias
+        if self.pool:
+            y = _maxpool2(y)
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        z = (y - self.bn_mean) * mul + self.bn_bias
+        return pack_bits(z, axis=-1)
+
+
+def _maxpool2(y: Array) -> Array:
+    """2x2/2 max pool (NHWC), exact on int32 or f32."""
+    if jnp.issubdtype(y.dtype, jnp.floating):
+        init = jnp.asarray(-jnp.inf, y.dtype)
+    else:
+        init = jnp.asarray(jnp.iinfo(y.dtype).min, y.dtype)
+    return jax.lax.reduce_window(
+        y, init, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+
+class PackedConvBits(struct.PyTreeNode):
+    """Binary hidden conv: packed conv + pad corr (+maxpool on ints) +
+    integer threshold -> packed bits."""
+
+    wp: Array                    # (kh*kw*Cw, N) int32
+    corr: Array                  # (H, W, N) int32
+    sgn: Array                   # (N,) int32
+    tau: Array                   # (N,) int32
+    k: int = struct.field(pytree_node=False, default=0)
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, bits: Array) -> Array:
+        from qnx.kernels.xnor_conv import xnor_conv
+
+        s = xnor_conv(bits, self.wp, self.k, self.corr)
+        out_bits = (self.sgn[None, None, None, :] * s) >= self.tau[None, None, None, :]
+        if self.pool:
+            out_bits = _pool_codes(out_bits.astype(jnp.int8), self.sgn)
+        return pack_bits(out_bits, axis=-1)
+
+
+def _pool_codes(code: Array, sgn: Array) -> Array:
+    """Exact maxpool of the epilogue OUTPUT codes (bits or level indices):
+    the BinaryNet ordering pools the integer conv output s, but the
+    threshold epilogue is monotone in sgn*s per channel, so pooling the
+    small codes (int8) is bit-identical and 4x cheaper than pooling int32 s.
+    Channels with sgn=-1 have a decreasing epilogue (pool == window-min of
+    codes there): negate, max-pool, negate back."""
+    flip = (sgn < 0).reshape((1,) * (code.ndim - 1) + (-1,))
+    signed = jnp.where(flip, -code, code)
+    pooled = _maxpool2(signed)
+    return jnp.where(flip, -pooled, pooled)
+
+
+class TernaryConvBits(struct.PyTreeNode):
+    """Ternary hidden conv (two-plane) + threshold -> packed bits."""
+
+    mask: Array
+    sign: Array
+    nnz: Array
+    corr: Array
+    sgn: Array
+    tau: Array
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, bits: Array) -> Array:
+        from qnx.kernels.xnor_conv import ternary_conv
+
+        s = ternary_conv(bits, self.mask, self.sign, self.nnz, self.corr)
+        out_bits = (self.sgn[None, None, None, :] * s) >= self.tau[None, None, None, :]
+        if self.pool:
+            out_bits = _pool_codes(out_bits.astype(jnp.int8), self.sgn)
+        return pack_bits(out_bits, axis=-1)
+
+
+class FloatDenseLogitsFromBits(struct.PyTreeNode):
+    """Float head over binary activations: unpack bits to ±1 then
+    f32 GEMM + BN (last_layer_float configs)."""
+
+    w: Array                     # (K, N) f32
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+    k: int = struct.field(pytree_node=False, default=0)
+
+    def __call__(self, bits: Array) -> Array:
+        from qnx.ops.packing import unpack_bits
+
+        x = unpack_bits(bits, self.k, axis=-1, dtype=jnp.float32)
+        y = x @ self.w
+        if self.bias is not None:
+            y = y + self.bias
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        return (y - self.bn_mean) * mul + self.bn_bias
+
+
+def _levels_from_float(y: Array, nb: int) -> Array:
+    """Float pre-activation -> integer level index, replicating
+    qnx.ops.quant.quantized_relu bit-for-bit: l = quantized_relu(y)/q
+    (division by the pow2 step is exact in f32)."""
+    from qnx.ops.quant import quantized_relu
+
+    q = 2.0 ** (1 - nb)
+    return jnp.round(quantized_relu(y, nb) / q).astype(jnp.int32)
+
+
+def _planes_from_levels(level: Array, nb: int) -> Array:
+    from qnx.kernels.plane_gemm import levels_to_planes
+
+    return levels_to_planes(level, nb - 1)
+
+
+class FloatConvPlanes(struct.PyTreeNode):
+    """Float first conv -> BN -> n-bit quantized_relu levels -> packed
+    {0,1} planes (abits > 1 configs)."""
+
+    w: Array
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+    nb: int = struct.field(pytree_node=False, default=2)
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, x: Array) -> Array:
+        y = jax.lax.conv_general_dilated(
+            x, self.w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.bias is not None:
+            y = y + self.bias
+        if self.pool:
+            y = _maxpool2(y)
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        z = (y - self.bn_mean) * mul + self.bn_bias
+        return _planes_from_levels(_levels_from_float(z, self.nb), self.nb)
+
+
+def _multi_threshold(s: Array, sgn: Array, tau: Array) -> Array:
+    """l = sum_v 1[sgn*s >= tau[v]] over ascending thresholds."""
+    u = sgn * s
+    return jnp.sum(
+        (u[None] >= tau.reshape(tau.shape[0], *([1] * (s.ndim - 1)), -1))
+        .astype(jnp.int32),
+        axis=0,
+    )
+
+
+class PlaneConvTernary(struct.PyTreeNode):
+    """Ternary-weight conv over activation planes + multi-level integer
+    thresholds -> next planes. Binary weights use mask = all-valid."""
+
+    mask: Array                  # (kh*kw*Cw, N) int32
+    msign: Array                 # mask & sign
+    sgn: Array                   # (N,) int32
+    tau: Array                   # (L-1, N) int32
+    nb: int = struct.field(pytree_node=False, default=2)
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, planes: Array) -> Array:
+        from qnx.kernels.plane_gemm import plane_conv
+
+        s = plane_conv(planes, self.mask, self.msign)
+        lvl = _multi_threshold(s, self.sgn, self.tau)
+        if self.pool:
+            lvl = _pool_codes(lvl.astype(jnp.int8), self.sgn).astype(jnp.int32)
+        return _planes_from_levels(lvl, self.nb)
+
+
+class PlaneDenseTernary(struct.PyTreeNode):
+    """Ternary-weight dense over flattened activation planes."""
+
+    mask: Array                  # (Kw, N)
+    msign: Array
+    sgn: Array
+    tau: Array
+    nb: int = struct.field(pytree_node=False, default=2)
+
+    def __call__(self, planes: Array) -> Array:
+        from qnx.kernels.plane_gemm import plane_gemm
+
+        p = planes.shape[0]
+        s = None
+        for j in range(p):
+            t = plane_gemm(planes[j], self.mask, self.msign)
+            s = t if s is None else s + (t << j)
+        return _planes_from_levels(_multi_threshold(s, self.sgn, self.tau),
+                                   self.nb)
+
+
+class PlaneDenseLogits(struct.PyTreeNode):
+    """Integer head over planes: s = sum 2^j t_j, logits = a*s + c."""
+
+    mask: Array
+    msign: Array
+    a: Array
+    c: Array
+
+    def __call__(self, planes: Array) -> Array:
+        from qnx.kernels.plane_gemm import plane_gemm
+
+        p = planes.shape[0]
+        s = None
+        for j in range(p):
+            t = plane_gemm(planes[j], self.mask, self.msign)
+            s = t if s is None else s + (t << j)
+        return self.a[None, :] * s.astype(jnp.float32) + self.c[None, :]
+
+
+class FloatDenseLogitsFromPlanes(struct.PyTreeNode):
+    """Float head over n-bit activations: x = q * sum 2^j b_j -> f32 GEMM
+    -> BN (last_layer_float configs)."""
+
+    w: Array
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+    k: int = struct.field(pytree_node=False, default=0)
+    q: float = struct.field(pytree_node=False, default=0.5)
+
+    def __call__(self, planes: Array) -> Array:
+        from qnx.ops.packing import unpack_bits
+
+        p = planes.shape[0]
+        lvl = None
+        for j in range(p):
+            b = (unpack_bits(planes[j], self.k, axis=-1, dtype=jnp.int32) + 1) // 2
+            lvl = b if lvl is None else lvl + (b << j)
+        x = lvl.astype(jnp.float32) * self.q
+        y = x @ self.w
+        if self.bias is not None:
+            y = y + self.bias
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        return (y - self.bn_mean) * mul + self.bn_bias
+
+
+class PlaneVGG(struct.PyTreeNode):
+    """End-to-end n-bit-activation VGG (the CIFAR-10 TNN config)."""
+
+    first: FloatConvPlanes
+    convs: Tuple[Any, ...]       # PlaneConvTernary
+    denses: Tuple[Any, ...]      # PlaneDenseTernary
+    head: Any
+
+    def __call__(self, images: Array) -> Array:
+        planes = self.first(images)
+        for layer in self.convs:
+            planes = layer(planes)
+        p, b = planes.shape[0], planes.shape[1]
+        planes = planes.reshape(p, b, -1)
+        for layer in self.denses:
+            planes = layer(planes)
+        return self.head(planes)
+
+
+class PackedVGG(struct.PyTreeNode):
+    """End-to-end packed VGG: float first conv -> packed conv blocks ->
+    flatten (C-word-aligned) -> packed dense -> head."""
+
+    first: FloatConvBits
+    convs: Tuple[Any, ...]       # PackedConvBits / TernaryConvBits
+    denses: Tuple[Any, ...]      # PackedDenseBits / TernaryDenseBits
+    head: Any
+
+    def __call__(self, images: Array) -> Array:
+        bits = self.first(images)
+        for layer in self.convs:
+            bits = layer(bits)
+        b = bits.shape[0]
+        bits = bits.reshape(b, -1)  # (H*W*Cw) word-aligned flatten
+        for layer in self.denses:
+            bits = layer(bits)
+        return self.head(bits)
+
+
+@jax.jit
+def vgg_forward(model: PackedVGG, images: Array) -> Array:
+    return model(images)
+
+
 class PackedMLP(struct.PyTreeNode):
     """End-to-end packed MLP: first (float-in) -> hidden bits -> head."""
 

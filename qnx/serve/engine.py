@@ -1,0 +1,162 @@
+"""Sharded continuous-batching serving engine.
+
+North-star component (BASELINE.json: "continuous batching of image streams
+across hosts", "sharded serving loop"); the reference has no serving path at
+all (SURVEY.md §3.2).
+
+Design: requests (single images or micro-batches) land in a host-side queue;
+a dispatcher thread drains up to ``batch_size`` images, pads the tail to the
+static batch shape (XLA: one compile), places the batch against the mesh's
+data sharding, runs the jitted packed forward, and resolves per-request
+futures.  The engine is stateless between batches — feeder-host restart
+tolerance comes free (SURVEY.md §5).
+
+Multi-host: the same engine runs per host; the model pytree is TP-sharded
+over the 'model' mesh axis (qnx.parallel.sharding.packed_model_shardings)
+and the batch over 'data'.  On one chip the mesh is 1x1 and everything is
+local — identical code path (SURVEY.md §7.4 item 5).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class ServeStats:
+    batches: int = 0
+    images: int = 0
+    padded: int = 0
+    total_batch_ms: float = 0.0
+    latencies_ms: list = field(default_factory=list)
+
+    def summary(self) -> dict:
+        lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
+        busy_s = self.total_batch_ms / 1e3
+        return {
+            "batches": self.batches,
+            "images": self.images,
+            "pad_fraction": self.padded / max(self.images + self.padded, 1),
+            "throughput_ips": self.images / busy_s if busy_s > 0 else 0.0,
+            "latency_ms_p50": float(np.percentile(lat, 50)),
+            "latency_ms_p99": float(np.percentile(lat, 99)),
+        }
+
+
+class ServeEngine:
+    """Continuous-batching inference engine over a packed model.
+
+    Args:
+      model: packed model pytree (callable: images -> logits).
+      batch_size: static device batch (requests are padded up to it).
+      mesh: optional jax Mesh; model is placed with TP shardings and inputs
+        with the data sharding. None = single-device.
+      max_wait_ms: dispatcher linger — how long to wait to fill a batch
+        before flushing a partial one.
+    """
+
+    def __init__(self, model, batch_size: int = 256, mesh=None,
+                 max_wait_ms: float = 2.0, forward=None):
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.mesh = mesh
+        if mesh is not None:
+            from qnx.parallel.mesh import data_sharding
+            from qnx.parallel.sharding import packed_model_shardings
+
+            self.model = jax.device_put(model, packed_model_shardings(mesh, model))
+            self._data_sharding = data_sharding(mesh)
+        else:
+            self.model = jax.device_put(model)
+            self._data_sharding = None
+        self._forward = jax.jit(forward or (lambda m, x: m(x)))
+        self._queue: queue.Queue = queue.Queue()
+        self._stats = ServeStats()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # ---------------- public API ----------------
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one image; resolves to its logits (np.ndarray)."""
+        fut: Future = Future()
+        self._queue.put((np.asarray(image, np.float32), fut, time.perf_counter()))
+        return fut
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Synchronous convenience: batch of images -> logits."""
+        futs = [self.submit(im) for im in images]
+        return np.stack([f.result(timeout=300) for f in futs])
+
+    def stats(self) -> dict:
+        return self._stats.summary()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # ---------------- dispatcher ----------------
+
+    def _drain(self):
+        """Collect up to batch_size requests, lingering max_wait_ms."""
+        items = []
+        try:
+            items.append(self._queue.get(timeout=0.1))
+        except queue.Empty:
+            return items
+        deadline = time.perf_counter() + self.max_wait_ms / 1e3
+        while len(items) < self.batch_size:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self):
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            n = len(items)
+            images = np.stack([im for im, _, _ in items])
+            pad = self.batch_size - n
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad, *images.shape[1:]), np.float32)])
+            x = jnp.asarray(images)
+            if self._data_sharding is not None:
+                x = jax.device_put(x, self._data_sharding)
+            t0 = time.perf_counter()
+            logits = np.asarray(
+                jax.block_until_ready(self._forward(self.model, x)))
+            dt_ms = (time.perf_counter() - t0) * 1e3
+            done = time.perf_counter()
+            self._stats.batches += 1
+            self._stats.images += n
+            self._stats.padded += pad
+            self._stats.total_batch_ms += dt_ms
+            for i, (_, fut, t_in) in enumerate(items):
+                self._stats.latencies_ms.append((done - t_in) * 1e3)
+                fut.set_result(logits[i])

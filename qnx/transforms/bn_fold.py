@@ -103,6 +103,72 @@ def fold_sign(alpha=1.0, bias=None, channels: int | None = None) -> SignThreshol
 
 
 @dataclass(frozen=True)
+class LevelThresholds:
+    """Multi-level integer quantizer: level[c] = sum_v (sgn[c]*s >= tau[v,c]),
+    v = 1..L-1, thresholds ascending in v.  Feeding quantized_relu-style
+    activations: x = q * level with q = 2^(1-nb)."""
+
+    sgn: np.ndarray   # (C,) int32 in {+1,-1}
+    tau: np.ndarray   # (L-1, C) int32
+    q: float          # level step 2^(1-nb)
+
+
+def fold_bn_levels(
+    gamma, beta, mean, var, eps: float, nb: int, alpha=1.0, bias=None
+) -> LevelThresholds:
+    """Fold BN + n-bit quantized_relu into per-channel integer thresholds.
+
+    The fake-quant activation is (qnx.ops.quant.quantized_relu)
+
+        r = round(hard_sigmoid(y) * 2^nb);  out = clip((r - 2^(nb-1)) * q, 0, (L-1)q)
+
+    with q = 2^(1-nb), L = 2^(nb-1), y = BN(alpha*s + bias).  The output
+    level l = clip(r - 2^(nb-1), 0, L-1) is monotone in the integer GEMM
+    output s, so  l >= v  <=>  sgn*s >= tau[v]  with
+
+        l >= v  <=>  r >= v + 2^(nb-1)  <=>  hard_sigmoid(y)*2^nb > c - 1/2
+                <=>  y > 2*(c - 1/2)/2^nb - 1 =: y_v
+
+    (strict '>': round-half-to-even ties are knife-edge and resolved toward
+    the lower level, matching the f32 forward in all non-tie cases).
+    Thresholds computed in float64; for gamma < 0 the comparison direction
+    folds into sgn = -1 exactly as in fold_bn_sign."""
+    gamma = np.asarray(gamma, np.float64)
+    beta = np.asarray(beta, np.float64)
+    mean = np.asarray(mean, np.float64)
+    var = np.asarray(var, np.float64)
+    alpha = np.broadcast_to(np.asarray(alpha, np.float64), gamma.shape)
+    bias = (
+        np.zeros_like(gamma)
+        if bias is None
+        else np.broadcast_to(np.asarray(bias, np.float64), gamma.shape)
+    )
+    if np.any(alpha <= 0):
+        raise ValueError("alpha (weight scale) must be positive")
+    levels = 2 ** (nb - 1)
+    q = float(2.0 ** (1 - nb))
+    std = np.sqrt(var + eps)
+    safe_gamma = np.where(gamma == 0, 1.0, gamma)
+
+    sgn = np.where(gamma >= 0, 1, -1).astype(np.int32)
+    taus = []
+    for v in range(1, levels):
+        c = v + 2 ** (nb - 1)
+        y_v = 2.0 * (c - 0.5) / (2.0**nb) - 1.0
+        # y > y_v  <=>  gamma*(alpha*s + bias - mean) > (y_v - beta)*std
+        theta = (mean - bias + (y_v - beta) * std / safe_gamma) / alpha
+        tau_v = np.where(
+            sgn == 1, _strict_gt_threshold(theta), _strict_gt_threshold(-theta)
+        )
+        # gamma == 0: y = beta constant -> level = const
+        const_ge = beta > y_v
+        zero = gamma == 0
+        tau_v = np.where(zero, np.where(const_ge, INT32_MIN, INT32_MAX), tau_v)
+        taus.append(tau_v.astype(np.int32))
+    return LevelThresholds(sgn=sgn, tau=np.stack(taus, axis=0), q=q)
+
+
+@dataclass(frozen=True)
 class AffineEpilogue:
     """Float epilogue for non-sign outputs (logits / multi-bit activations):
     y[.., c] = a[c] * s[.., c] + c0[c]."""
