@@ -113,6 +113,13 @@ def load_dataset(name: str) -> DatasetBundle:
         return synthetic((28, 28, 1))
     if name == "synthetic-cifar":
         return synthetic((32, 32, 3))
+    if name == "SVHN":
+        real = _try_svhn()
+        if real is not None:
+            return real
+        ds = synthetic((32, 32, 3))
+        ds.meta.update({"fallback_for": "SVHN"})
+        return ds
     if name in ("MNIST", "CIFAR-10"):
         real = _try_keras(name)
         if real is not None:
@@ -122,6 +129,34 @@ def load_dataset(name: str) -> DatasetBundle:
         ds.meta.update({"fallback_for": name})
         return ds
     raise ValueError(f"unknown dataset {name!r}")
+
+
+def _try_svhn():
+    """SVHN cropped-digits .mat files (reference: scipy.io on
+    train_32x32.mat / test_32x32.mat). Looks in $QNX_DATA_DIR then
+    ~/.keras/datasets; labels 10 -> 0 per SVHN convention."""
+    import os
+
+    for base in (os.environ.get("QNX_DATA_DIR"),
+                 os.path.expanduser("~/.keras/datasets")):
+        if not base:
+            continue
+        tr = os.path.join(base, "train_32x32.mat")
+        te = os.path.join(base, "test_32x32.mat")
+        if os.path.exists(tr) and os.path.exists(te):
+            from scipy.io import loadmat
+
+            def rd(path):
+                m = loadmat(path)
+                x = np.transpose(m["X"], (3, 0, 1, 2))  # HWCN -> NHWC
+                y = m["y"].ravel().astype(np.int32) % 10
+                return _scale_pm1(x), y
+
+            xt, yt = rd(tr)
+            xv, yv = rd(te)
+            return DatasetBundle(xt, yt, xv, yv,
+                                 {"source": "svhn-mat", "name": "SVHN"})
+    return None
 
 
 def to_pm1_onehot(y: np.ndarray, classes: int = 10) -> np.ndarray:

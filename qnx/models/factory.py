@@ -39,7 +39,8 @@ def _dense_cls(cf: Config, final: bool):
     if kind == "float":
         return lambda features, name: L.FloatDense(features, use_bias=True, name=name)
     if kind == "binary":
-        return lambda features, name: L.BinaryDense(features, name=name, **common)
+        return lambda features, name: L.BinaryDense(
+            features, stochastic=cf.stochastic, name=name, **common)
     if kind == "ternary":
         return lambda features, name: L.TernaryDense(
             features, style=cf.ternary_style, name=name, **common
@@ -62,7 +63,8 @@ def _conv_cls(cf: Config, first: bool):
             features, (3, 3), use_bias=True, name=name
         )
     if kind == "binary":
-        return lambda features, name: L.BinaryConv2D(features, name=name, **common)
+        return lambda features, name: L.BinaryConv2D(
+            features, stochastic=cf.stochastic, name=name, **common)
     if kind == "ternary":
         return lambda features, name: L.TernaryConv2D(
             features, style=cf.ternary_style, name=name, **common

@@ -94,6 +94,20 @@ def binarize(w: Array, H: float = 1.0) -> Array:
     return H * binary_tanh(w / H)
 
 
+def binarize_stochastic(w: Array, key: Array, H: float = 1.0) -> Array:
+    """Stochastic weight binarization (BinaryConnect arXiv:1511.00363 §1.2):
+    Wb = +H with probability hard_sigmoid(w/H), else -H; backward is the
+    same saturating STE as deterministic binarize. Train-time only — eval
+    uses deterministic binarize."""
+    p = _sg(hard_sigmoid(w / H))
+    bits = jax.random.bernoulli(key, p)
+    wb = jnp.where(bits, H, -H)
+    # backward: d/dw of H*(2*hard_sigmoid(w/H)-1) = 1[|w| <= H], the same
+    # saturating STE mask as deterministic binarize
+    surrogate = H * (2.0 * hard_sigmoid(w / H) - 1.0)
+    return surrogate + _sg(wb - surrogate)
+
+
 def ternarize(w: Array, H: float = 1.0) -> Array:
     """DingKe-style ternarization with pass-through STE.
 

@@ -66,9 +66,13 @@ def packed_model_shardings(mesh: Mesh, model: Any) -> Any:
 
     def assign(leaf):
         ndim = getattr(leaf, "ndim", 0)
-        if ndim == 2 and _divisible(leaf, 1, mesh):
+        if ndim == 4 and _divisible(leaf, 3, mesh):  # conv HWIO weights
+            return NamedSharding(mesh, P(None, None, None, MODEL_AXIS))
+        if ndim == 3 and _divisible(leaf, 2, mesh):  # (H, W, N) pad corr
+            return NamedSharding(mesh, P(None, None, MODEL_AXIS))
+        if ndim == 2 and _divisible(leaf, 1, mesh):  # (Kw|K|L-1, N) planes
             return NamedSharding(mesh, P(None, MODEL_AXIS))
-        if ndim == 1 and _divisible(leaf, 0, mesh):
+        if ndim == 1 and _divisible(leaf, 0, mesh):  # per-channel vectors
             return NamedSharding(mesh, P(MODEL_AXIS))
         return NamedSharding(mesh, P())
 

@@ -33,6 +33,10 @@ def build_argparser() -> argparse.ArgumentParser:
         p.add_argument(f"--{name}", type=int, default=None)
     for name in ("lr-start", "lr-end", "dropout-rate"):
         p.add_argument(f"--{name}", type=float, default=None)
+    for name in ("stochastic", "first-layer-float", "last-layer-float",
+                 "use-bias"):
+        p.add_argument(f"--{name}", action="store_const", const=True,
+                       default=None)
     p.add_argument("--loss", choices=["squared_hinge", "crossentropy"],
                    default=None)
     p.add_argument("--h", default=None,

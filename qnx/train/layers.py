@@ -65,18 +65,25 @@ class BinaryDense(nn.Module, _QuantKernelMixin):
     """Dense layer with binarized {-H,+H} weights (BinaryConnect).
 
     Reference: ``BinaryDense`` in layers/binary_layers.py (reconstructed,
-    SURVEY.md §2.1)."""
+    SURVEY.md §2.1).  With ``stochastic=True`` the kernel is sampled
+    Wb = +H w.p. hard_sigmoid(w/H) whenever a 'quant' rng is provided
+    (training); without the rng it falls back to deterministic sign —
+    which is exactly BinaryConnect's test-time rule."""
 
     features: int
     H: Any = "Glorot"
     use_bias: bool = False
+    stochastic: bool = False
     kernel_lr_multiplier: float | None = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
         kernel, h = self._latent_kernel((fan_in, self.features), fan_in, self.features)
-        wb = Q.binarize(kernel, h)
+        if self.stochastic and self.has_rng("quant"):
+            wb = Q.binarize_stochastic(kernel, self.make_rng("quant"), h)
+        else:
+            wb = Q.binarize(kernel, h)
         y = x @ wb
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
@@ -166,9 +173,14 @@ class _QuantConvBase(nn.Module, _QuantKernelMixin):
 
 
 class BinaryConv2D(_QuantConvBase):
-    """Conv2D with binarized weights (reference BinaryConv2D)."""
+    """Conv2D with binarized weights (reference BinaryConv2D); supports
+    stochastic binarization like BinaryDense."""
+
+    stochastic: bool = False
 
     def _quantize_kernel(self, kernel, h):
+        if self.stochastic and self.has_rng("quant"):
+            return Q.binarize_stochastic(kernel, self.make_rng("quant"), h)
         return Q.binarize(kernel, h)
 
 

@@ -16,6 +16,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 import optax
+from jax import lax
 from flax import core, struct
 
 from qnx.models.factory import build_model, init_model
@@ -135,15 +136,19 @@ def create_train_state(cf: Config, rng: Array, steps_per_epoch: int) -> TrainSta
 
 
 @jax.jit
-def train_step(state: TrainState, images: Array, labels: Array):
+def train_step(state: TrainState, images: Array, labels: Array,
+               rng: Array | None = None):
     """One SGD step: forward (training-mode BN), STE backward, Adam update,
-    LR-multiplier scaling, Clip constraint. Returns (state, metrics)."""
+    LR-multiplier scaling, Clip constraint. Returns (state, metrics).
+    ``rng`` feeds dropout (required when cf.dropout_rate > 0)."""
 
     def loss_fn(params):
         logits, updates = state.apply_fn(
             {"params": params, "quant": state.quant,
              "batch_stats": state.batch_stats},
             images, train=True, mutable=["batch_stats"],
+            rngs=None if rng is None else {
+                "dropout": rng, "quant": jax.random.fold_in(rng, 17)},
         )
         return state.loss_fn(logits, labels), (logits, updates)
 
@@ -178,22 +183,48 @@ def eval_step(state: TrainState, images: Array, labels: Array):
     }
 
 
+@functools.partial(jax.jit, static_argnames=("batch_size", "steps"))
+def _train_epoch(state: TrainState, x: Array, y: Array, rng: Array,
+                 batch_size: int, steps: int):
+    """One full epoch on-device: shuffle + scan over minibatches.
+
+    Keeping the whole epoch in one jitted program matters doubly on remote
+    TPUs, where every host<->device round-trip costs a relay round trip."""
+    perm = jax.random.permutation(rng, x.shape[0])
+
+    def body(carry, i):
+        st = carry
+        idx = lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+        st, metrics = train_step(st, x[idx], y[idx],
+                                 jax.random.fold_in(rng, i))
+        return st, metrics
+
+    state, metrics = jax.lax.scan(body, state, jnp.arange(steps))
+    last = jax.tree.map(lambda m: m[-1], metrics)
+    return state, last
+
+
 def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None):
     """model.fit equivalent: train cf.epochs over (x_train, y_train) and
     report test accuracy per epoch. ``data`` = ((x_train, y_train),
-    (x_test, y_test)) as numpy/jnp arrays, images already in [-1, 1]."""
+    (x_test, y_test)) as numpy/jnp arrays, images already in [-1, 1].
+
+    Data is staged to the device once; each epoch runs as a single jitted
+    shuffle+scan program (no per-step host round-trips)."""
     (x_train, y_train), (x_test, y_test) = data
     n = x_train.shape[0]
     steps_per_epoch = max(n // cf.batch_size, 1)
     rng = jax.random.PRNGKey(cf.seed) if rng is None else rng
     state = create_train_state(cf, rng, steps_per_epoch)
+    x_train = jnp.asarray(x_train)
+    y_train = jnp.asarray(y_train)
+    x_test = jnp.asarray(x_test)
+    y_test = jnp.asarray(y_test)
     history = []
     for epoch in range(cf.epochs):
         rng, shuf = jax.random.split(rng)
-        perm = jax.random.permutation(shuf, n)
-        for i in range(steps_per_epoch):
-            idx = perm[i * cf.batch_size:(i + 1) * cf.batch_size]
-            state, metrics = train_step(state, x_train[idx], y_train[idx])
+        state, metrics = _train_epoch(state, x_train, y_train, shuf,
+                                      cf.batch_size, steps_per_epoch)
         test = evaluate(state, x_test, y_test, cf.batch_size)
         history.append({"epoch": epoch, "train": jax.device_get(metrics),
                         "test": test})

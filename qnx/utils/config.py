@@ -48,6 +48,7 @@ class Config:
     batch_norm_epsilon: float = 1e-4
     dropout_rate: float = 0.0
     H: str | float = "Glorot"
+    stochastic: bool = False  # stochastic binarization (BinaryConnect)
     ternary_style: str = "dingke"  # dingke | twn
     # training
     loss: str = "squared_hinge"  # squared_hinge | crossentropy

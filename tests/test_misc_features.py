@@ -1,0 +1,107 @@
+"""Stochastic binarization, dropout, SVHN loader, device-resident fit."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qnx.data.datasets import load_dataset
+from qnx.ops import quant as Q
+from qnx.train.loop import create_train_state, fit, train_step
+from qnx.utils.config import Config
+
+TINY = Config(dataset="digits", architecture="mlp", dim=48, num_hidden=2,
+              epochs=2, batch_size=64, network_type="full-bnn", H=1.0)
+
+
+class TestStochasticBinarize:
+    def test_values_and_distribution(self):
+        key = jax.random.PRNGKey(0)
+        w = jnp.full((20000,), 0.5)  # p(+1) = hard_sigmoid(0.5) = 0.75
+        wb = Q.binarize_stochastic(w, key, 1.0)
+        vals = np.unique(np.asarray(wb))
+        np.testing.assert_array_equal(vals, [-1.0, 1.0])
+        frac = float(jnp.mean(wb > 0))
+        assert abs(frac - 0.75) < 0.02
+
+    def test_gradient_saturating_ste(self):
+        key = jax.random.PRNGKey(1)
+        g = jax.vmap(jax.grad(
+            lambda w: Q.binarize_stochastic(w[None], key, 1.0).sum()
+        ))(jnp.array([-2.0, 0.0, 2.0]))
+        np.testing.assert_array_equal(g, jnp.array([0.0, 1.0, 0.0]))
+
+    def test_layer_uses_rng_only_in_training(self):
+        cf = TINY.replace(stochastic=True)
+        state = create_train_state(cf, jax.random.PRNGKey(0), 4)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 1), minval=-1)
+        y = jnp.zeros((8,), jnp.int32)
+        # training step with rng works and is stochastic
+        s1, m1 = train_step(state, x, y, jax.random.PRNGKey(3))
+        s2, m2 = train_step(state, x, y, jax.random.PRNGKey(4))
+        assert float(m1["loss"]) != float(m2["loss"])
+        # eval (no rng) is deterministic sign binarization
+        logits_a = state.apply_fn(
+            {"params": state.params, "quant": state.quant,
+             "batch_stats": state.batch_stats}, x, train=False)
+        logits_b = state.apply_fn(
+            {"params": state.params, "quant": state.quant,
+             "batch_stats": state.batch_stats}, x, train=False)
+        np.testing.assert_array_equal(np.asarray(logits_a), np.asarray(logits_b))
+
+
+class TestDropout:
+    def test_dropout_trains(self):
+        cf = TINY.replace(dropout_rate=0.3)
+        state = create_train_state(cf, jax.random.PRNGKey(0), 4)
+        x = jax.random.uniform(jax.random.PRNGKey(2), (8, 8, 8, 1), minval=-1)
+        y = jnp.zeros((8,), jnp.int32)
+        state, metrics = train_step(state, x, y, jax.random.PRNGKey(5))
+        assert jnp.isfinite(metrics["loss"])
+
+    def test_fit_with_dropout_learns(self):
+        cf = TINY.replace(dropout_rate=0.2, epochs=4, lr_start=5e-3,
+                          lr_end=1e-3)
+        ds = load_dataset("digits")
+        state, history = fit(cf, ds.as_tuples())
+        assert history[-1]["test"]["accuracy"] > 0.4
+
+    def test_fit_with_stochastic_runs(self):
+        # stochastic binarization is high-variance at tiny width/epochs:
+        # assert the loop runs and produces finite metrics, not accuracy
+        cf = TINY.replace(stochastic=True, epochs=2)
+        ds = load_dataset("digits")
+        state, history = fit(cf, ds.as_tuples())
+        assert np.isfinite(history[-1]["test"]["loss"])
+
+
+class TestSvhn:
+    def test_svhn_falls_back_offline(self):
+        ds = load_dataset("SVHN")
+        assert ds.x_train.shape[1:] == (32, 32, 3)
+        assert ds.meta.get("fallback_for") == "SVHN" or ds.meta["source"] == "svhn-mat"
+
+    def test_svhn_mat_parsing(self, tmp_path, monkeypatch):
+        from scipy.io import savemat
+
+        rng = np.random.default_rng(0)
+        for split, n in (("train", 30), ("test", 12)):
+            savemat(str(tmp_path / f"{split}_32x32.mat"), {
+                "X": rng.integers(0, 256, (32, 32, 3, n)).astype(np.uint8),
+                "y": np.concatenate([rng.integers(1, 10, n - 2), [10, 10]])
+                     .reshape(-1, 1),
+            })
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("SVHN")
+        assert ds.meta["source"] == "svhn-mat"
+        assert ds.x_train.shape == (30, 32, 32, 3)
+        assert ds.x_train.min() >= -1 and ds.x_train.max() <= 1
+        assert set(np.unique(ds.y_test)) <= set(range(10))  # label 10 -> 0
+
+
+class TestDeviceResidentFit:
+    def test_fit_learns(self):
+        ds = load_dataset("digits")
+        cf = TINY.replace(epochs=4, lr_start=5e-3, lr_end=1e-3)
+        state, history = fit(cf, ds.as_tuples())
+        assert history[-1]["test"]["accuracy"] > 0.5
+        assert int(state.step) == 4 * (ds.x_train.shape[0] // cf.batch_size)
