@@ -50,17 +50,18 @@ def chain_time(call: Callable, x: Array, w, *, mix: Callable,
     long, short = loop_n(iters), loop_n(1)
     _sync(long(x, w))   # compile
     _sync(short(x, w))
-    best = float("inf")
+    t_long = t_short = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         _sync(long(x, w))
-        t_long = time.perf_counter() - t0
+        t_long = min(t_long, time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(short(x, w))
-        t_short = time.perf_counter() - t0
-        # marginal cost excludes the fixed relay round-trip
-        best = min(best, (t_long - t_short) / (iters - 1))
-    return best
+        t_short = min(t_short, time.perf_counter() - t0)
+    # min-of-each then difference: both are lower-bounded by true device
+    # time, so the difference cannot go negative the way min-of-differences
+    # can under relay jitter
+    return (t_long - t_short) / (iters - 1)
 
 
 def gemm_tmacs(m: int, n: int, k: int, seconds: float) -> float:
@@ -104,13 +105,13 @@ def time_fn_marginal(fn: Callable, *args, iters: int = 8,
     long, short = loop_n(iters), loop_n(1)
     _sync(long(*args))
     _sync(short(*args))
-    best = float("inf")
+    t_long = t_short = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         _sync(long(*args))
-        t_long = time.perf_counter() - t0
+        t_long = min(t_long, time.perf_counter() - t0)
         t0 = time.perf_counter()
         _sync(short(*args))
-        t_short = time.perf_counter() - t0
-        best = min(best, (t_long - t_short) / (iters - 1))
-    return best
+        t_short = min(t_short, time.perf_counter() - t0)
+    # see chain_time: min-of-each then difference is jitter-robust
+    return (t_long - t_short) / (iters - 1)

@@ -147,8 +147,18 @@ class I8Conv(struct.PyTreeNode):
     tau: Array                   # (N,) or (L-1, N) int32
     act: str = struct.field(pytree_node=False, default="pm1")
     pool: bool = struct.field(pytree_node=False, default=False)
+    fused: bool = struct.field(pytree_node=False, default=False)
 
     def __call__(self, x8: Array) -> Array:
+        if self.fused:
+            # single Pallas kernel: conv + threshold (+pool) without the
+            # int32 HBM round-trip (see qnx.kernels.i8_conv_fused; bit-
+            # identical, benchmarked per shape — XLA's conv wins on most)
+            from qnx.kernels.i8_conv_fused import i8_conv_fused
+
+            levels = 1 if self.act == "pm1" else int(self.tau.shape[0])
+            return i8_conv_fused(x8, self.w8, self.sgn, self.tau,
+                                 levels=levels, pool=self.pool)
         s = _conv_i8(x8, self.w8)
         out = (_sign_epilogue(s, self.sgn, self.tau) if self.act == "pm1"
                else _level_epilogue(s, self.sgn, self.tau))
