@@ -81,37 +81,55 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def time_fn_marginal(fn: Callable, *args, iters: int = 8,
-                     repeats: int = 3) -> float:
+def time_fn_marginal(fn: Callable, *args, iters: int | None = None,
+                     repeats: int = 3, target_s: float = 0.15) -> float:
     """Marginal per-call device time of fn(input, *rest), excluding relay
     round-trip: compares a jit running fn iters times against one running it
-    once. The float input (first arg) is perturbed by the accumulating carry
-    each iteration so CSE cannot collapse the repeated calls."""
+    once. The input (first arg) is rolled by the accumulating carry each
+    iteration so the repeated calls can be neither CSE'd nor algebraically
+    decomposed.
+
+    ``iters=None`` auto-scales the chain so the long loop runs ~``target_s``
+    of device time — relay round-trip jitter is ~10-30 ms, so sub-ms kernels
+    need hundreds of chained calls for a stable difference."""
 
     def loop_n(n):
         @jax.jit
         def loop(x, *rest):
             def body(_, carry):
-                # runtime-zero perturbation in x's own dtype: not constant-
-                # foldable, so repeated calls cannot be CSE'd away
-                pert = (carry * jnp.float32(1e-30)).astype(x.dtype)
-                out = fn(x + pert, *rest)
+                # carry-dependent ROLL of the leading axis: unlike an
+                # additive scalar perturbation (which XLA factors as
+                # dot(x+s,w) = dot(x,w) + s*colsum(w) and hoists the
+                # loop-invariant dot — observed as impossible 388 TMAC/s
+                # int8 readings), a data permutation cannot be decomposed
+                # or hoisted, and its cost is one O(x) copy per iteration.
+                shift = jnp.asarray(carry, jnp.int32) % x.shape[0]
+                out = fn(jnp.roll(x, shift, axis=0), *rest)
                 first = jax.tree.leaves(out)[0]
                 return carry + jnp.sum(jnp.abs(first).astype(jnp.float32))
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
         return loop
 
-    long, short = loop_n(iters), loop_n(1)
-    _sync(long(*args))
-    _sync(short(*args))
-    t_long = t_short = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
+    def measure(n, reps):
+        long, short = loop_n(n), loop_n(1)
         _sync(long(*args))
-        t_long = min(t_long, time.perf_counter() - t0)
-        t0 = time.perf_counter()
         _sync(short(*args))
-        t_short = min(t_short, time.perf_counter() - t0)
-    # see chain_time: min-of-each then difference is jitter-robust
-    return (t_long - t_short) / (iters - 1)
+        t_long = t_short = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _sync(long(*args))
+            t_long = min(t_long, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(short(*args))
+            t_short = min(t_short, time.perf_counter() - t0)
+        # see chain_time: min-of-each then difference is jitter-robust
+        return (t_long - t_short) / (n - 1)
+
+    if iters is not None:
+        return measure(iters, repeats)
+    est = measure(16, 1)
+    if not (est > 0):
+        est = 1e-4
+    n = max(16, min(2048, int(target_s / est)))
+    return measure(n, repeats)

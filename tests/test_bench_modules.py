@@ -1,0 +1,53 @@
+"""Bench harness modules: roofline report structure + scaling models.
+
+These run on the CPU test mesh (timings are not rooflines there — the
+modules are validated structurally; real numbers come from the TPU runs
+recorded in BASELINE.md).
+"""
+import jax
+import numpy as np
+
+from qnx.bench.roofline import V5E_PEAKS, KernelResult
+from qnx.bench.scaling import (dp_efficiency_model, measure_virtual_mesh,
+                               tp_efficiency_model, vgg_layers)
+
+
+def test_kernel_result_roofline_math():
+    # 1 ms measured, SoL 0.5 ms compute-bound -> fraction 0.5
+    r = KernelResult("k", 1e-3, int(0.5e-3 * V5E_PEAKS["int8_macs"]),
+                     1000, "int8_macs")
+    assert r.bound == "compute"
+    assert abs(r.row()["sol_fraction"] - 0.5) < 1e-6
+    # memory-bound case
+    r = KernelResult("k", 1e-3, 1000,
+                     int(0.5e-3 * V5E_PEAKS["hbm_bytes"]), "int8_macs")
+    assert r.bound == "memory"
+
+
+def test_vgg_layer_macs_match_architecture():
+    total = sum(h * w * 9 * cin * cout
+                for (h, w, cin, cout) in vgg_layers(128))
+    assert abs(total - 603e6) / 603e6 < 0.01  # ~603M MACs/image (quant convs)
+
+
+def test_dp_model_no_collectives():
+    for n in (1, 8, 64):
+        r = dp_efficiency_model(n)
+        assert r["efficiency"] == 1.0  # compute > feed at batch 1024
+
+
+def test_tp_model_monotone_and_overlap_helps():
+    effs = [tp_efficiency_model(tp)["efficiency"] for tp in (1, 2, 4, 8)]
+    assert effs[0] == 1.0
+    assert all(a >= b for a, b in zip(effs, effs[1:]))
+    with_ov = tp_efficiency_model(8, overlap=True)
+    without = tp_efficiency_model(8, overlap=False)
+    assert with_ov["t_exposed_ms"] <= without["t_exposed_ms"]
+
+
+def test_virtual_mesh_exact_across_device_counts():
+    if jax.device_count() < 2:
+        return
+    rows = measure_virtual_mesh(width=16, batch=16)
+    assert len(rows) >= 2
+    assert all(r["exact_vs_1dev"] for r in rows)
