@@ -95,9 +95,16 @@ class ServeEngine:
             self._thread.join(timeout=30)
 
     def submit(self, image: np.ndarray) -> Future:
-        """Enqueue one image; resolves to its logits (np.ndarray)."""
+        """Enqueue one image; resolves to its logits (np.ndarray).
+
+        uint8 images are accepted raw and normalized to [-1, 1] batch-wise
+        in the dispatcher via the native host runtime (qnx.native) — the
+        CPU-bound preprocessing step stays off the Python hot path."""
         fut: Future = Future()
-        self._queue.put((np.asarray(image, np.float32), fut, time.perf_counter()))
+        image = np.asarray(image)
+        if image.dtype != np.uint8:
+            image = np.asarray(image, np.float32)
+        self._queue.put((image, fut, time.perf_counter()))
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -140,7 +147,11 @@ class ServeEngine:
             if not items:
                 continue
             n = len(items)
-            images = np.stack([im for im, _, _ in items])
+            from qnx.native import u8_to_f32
+
+            images = np.stack([
+                u8_to_f32(im) if im.dtype == np.uint8 else im
+                for im, _, _ in items])
             pad = self.batch_size - n
             if pad:
                 images = np.concatenate(

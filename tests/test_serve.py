@@ -78,3 +78,17 @@ class TestServeEngine:
                 futs.append(eng.submit(im))
             out = np.stack([f.result(timeout=120) for f in futs])
         np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
+
+
+class TestUint8Ingest:
+    def test_uint8_requests_normalized_natively(self, packed):
+        """uint8 requests are normalized to [-1,1] in the dispatcher via the
+        native host runtime and give the same logits as pre-normalized f32."""
+        rng = np.random.RandomState(3)
+        raw = rng.randint(0, 256, (6, 8, 8, 1), np.uint8)
+        from qnx.native import u8_to_f32
+
+        gold = np.asarray(mlp_forward(packed, jnp.asarray(u8_to_f32(raw))))
+        with ServeEngine(packed, batch_size=4) as eng:
+            out = eng.predict(raw)
+        np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
