@@ -1,0 +1,57 @@
+"""Top-level ``python -m qnx`` CLI: train -> convert -> eval -> serve flow
+on the offline digits dataset (in-process, CPU mesh)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from qnx.__main__ import main as qnx_main
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("run"))
+    rc = qnx_main([
+        "train", "--dataset", "digits", "--architecture", "mlp",
+        "--network-type", "full-bnn", "--dim", "64", "--num-hidden", "2",
+        "--h", "1.0", "--epochs", "5", "--batch-size", "64",
+        "--lr-start", "5e-3", "--lr-end", "1e-3",
+        "--out", out,
+    ])
+    assert rc == 0
+    return out
+
+
+def test_train_wrote_artifacts(run_dir):
+    assert os.path.isdir(os.path.join(run_dir, "ckpt"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+
+def test_eval_engines_agree(run_dir, capsys):
+    accs = {}
+    for engine in ("fake", "int8", "packed"):
+        rc = qnx_main(["eval", "--ckpt", os.path.join(run_dir, "ckpt"),
+                       "--engine", engine])
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        accs[engine] = float(line.split(":")[1].split("(")[0])
+    # packed-integer engines must reproduce the fake-quant accuracy exactly
+    assert accs["int8"] == accs["fake"] == accs["packed"]
+    assert accs["fake"] > 0.5  # 5 epochs on digits (test_train.py regime)
+
+
+def test_convert_and_serve(run_dir, tmp_path, capsys):
+    model_path = str(tmp_path / "model.pkl")
+    rc = qnx_main(["convert", "--ckpt", os.path.join(run_dir, "ckpt"),
+                   "--config", "mnist-bnn", "--engine", "int8",
+                   "--out", model_path])
+    assert rc == 0
+    with open(model_path, "rb") as f:
+        model = pickle.load(f)
+    assert model is not None
+    rc = qnx_main(["serve", "--model", model_path, "--batch-size", "32",
+                   "--requests", "64", "--input-shape", "8,8,1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"images": 64' in out
