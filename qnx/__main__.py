@@ -159,7 +159,11 @@ def _cmd_serve(argv):
 
 def _cmd_bench(argv):
     which = argv[0] if argv else "headline"
-    if which == "roofline":
+    if which == "suite":
+        from qnx.bench.suite import main
+
+        main(argv[1:])
+    elif which == "roofline":
         from qnx.bench.roofline import main
 
         main(argv[1:])

@@ -63,10 +63,16 @@ class ServeEngine:
     """
 
     def __init__(self, model, batch_size: int = 256, mesh=None,
-                 max_wait_ms: float = 2.0, forward=None):
+                 max_wait_ms: float = 2.0, forward=None,
+                 device_normalize: bool = True):
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.mesh = mesh
+        # uint8 batches ship to the device RAW (4x fewer host->device bytes
+        # than f32 — the serving bottleneck on thin transports) and are
+        # normalized in-jit with the exact same IEEE ops as the native host
+        # path (x * (1/127.5f) - 1.0f), so results are bit-identical.
+        self.device_normalize = device_normalize
         if mesh is not None:
             from qnx.parallel.mesh import data_sharding
             from qnx.parallel.sharding import packed_model_shardings
@@ -76,8 +82,18 @@ class ServeEngine:
         else:
             self.model = jax.device_put(model)
             self._data_sharding = None
-        self._forward = jax.jit(forward or (lambda m, x: m(x)))
+        base = forward or (lambda m, x: m(x))
+
+        def fwd(m, x):
+            if x.dtype == jnp.uint8:  # static under jit
+                x = (x.astype(jnp.float32) * jnp.float32(1.0 / 127.5)
+                     - jnp.float32(1.0))
+            return base(m, x)
+
+        self._forward = jax.jit(fwd)
         self._queue: queue.Queue = queue.Queue()
+        self._carry = None   # split-chunk remainder (dispatcher-only)
+        self._total = 0
         self._stats = ServeStats()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -100,16 +116,22 @@ class ServeEngine:
         uint8 images are accepted raw and normalized to [-1, 1] batch-wise
         in the dispatcher via the native host runtime (qnx.native) — the
         CPU-bound preprocessing step stays off the Python hot path."""
-        fut: Future = Future()
-        image = np.asarray(image)
-        if image.dtype != np.uint8:
-            image = np.asarray(image, np.float32)
-        self._queue.put((image, fut, time.perf_counter()))
-        return fut
+        return self.submit_many(np.asarray(image)[None])[0]
+
+    def submit_many(self, images: np.ndarray) -> list[Future]:
+        """Enqueue a chunk of images as ONE queue item (one lock round-trip
+        and one numpy block per chunk instead of per request — the request
+        plane is host-bound, so bulk clients should prefer this)."""
+        images = np.asarray(images)
+        if images.dtype != np.uint8:
+            images = np.asarray(images, np.float32)
+        futs = [Future() for _ in range(len(images))]
+        self._queue.put((images, futs, time.perf_counter()))
+        return futs
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Synchronous convenience: batch of images -> logits."""
-        futs = [self.submit(im) for im in images]
+        futs = self.submit_many(images)
         return np.stack([f.result(timeout=300) for f in futs])
 
     def stats(self) -> dict:
@@ -124,38 +146,61 @@ class ServeEngine:
     # ---------------- dispatcher ----------------
 
     def _drain(self):
-        """Collect up to batch_size requests, lingering max_wait_ms."""
-        items = []
-        try:
-            items.append(self._queue.get(timeout=0.1))
-        except queue.Empty:
-            return items
+        """Collect request CHUNKS totaling up to batch_size images,
+        lingering max_wait_ms. A chunk larger than the remaining room is
+        split; the remainder carries over to the next batch."""
+        chunks: list = []
+        self._total = 0
+
+        def take(item):
+            imgs, futs, t = item
+            room = self.batch_size - self._total
+            if len(imgs) > room:
+                self._carry = (imgs[room:], futs[room:], t)
+                imgs, futs = imgs[:room], futs[:room]
+            chunks.append((imgs, futs, t))
+            self._total += len(imgs)
+
+        if self._carry is not None:
+            item, self._carry = self._carry, None
+            take(item)
+        if not chunks:
+            try:
+                take(self._queue.get(timeout=0.1))
+            except queue.Empty:
+                return chunks
         deadline = time.perf_counter() + self.max_wait_ms / 1e3
-        while len(items) < self.batch_size:
+        while self._total < self.batch_size and self._carry is None:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
                 break
             try:
-                items.append(self._queue.get(timeout=remaining))
+                take(self._queue.get(timeout=remaining))
             except queue.Empty:
                 break
-        return items
+        return chunks
 
     def _loop(self):
-        while not self._stop.is_set():
-            items = self._drain()
-            if not items:
-                continue
-            n = len(items)
-            from qnx.native import u8_to_f32
+        from qnx.native import u8_to_f32
 
-            images = np.stack([
-                u8_to_f32(im) if im.dtype == np.uint8 else im
-                for im, _, _ in items])
+        while not self._stop.is_set():
+            chunks = self._drain()
+            if not chunks:
+                continue
+            n = self._total
+            if self.device_normalize and all(
+                    imgs.dtype == np.uint8 for imgs, _, _ in chunks):
+                # ship raw uint8; normalization happens in-jit on device
+                arrs = [imgs for imgs, _, _ in chunks]
+            else:
+                arrs = [u8_to_f32(imgs) if imgs.dtype == np.uint8 else imgs
+                        for imgs, _, _ in chunks]
+            images = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
             pad = self.batch_size - n
             if pad:
                 images = np.concatenate(
-                    [images, np.zeros((pad, *images.shape[1:]), np.float32)])
+                    [images,
+                     np.zeros((pad, *images.shape[1:]), images.dtype)])
             x = jnp.asarray(images)
             if self._data_sharding is not None:
                 x = jax.device_put(x, self._data_sharding)
@@ -168,6 +213,10 @@ class ServeEngine:
             self._stats.images += n
             self._stats.padded += pad
             self._stats.total_batch_ms += dt_ms
-            for i, (_, fut, t_in) in enumerate(items):
-                self._stats.latencies_ms.append((done - t_in) * 1e3)
-                fut.set_result(logits[i])
+            off = 0
+            for _, futs, t_in in chunks:
+                lat = (done - t_in) * 1e3
+                for fut in futs:
+                    self._stats.latencies_ms.append(lat)
+                    fut.set_result(logits[off])
+                    off += 1

@@ -92,3 +92,28 @@ class TestUint8Ingest:
         with ServeEngine(packed, batch_size=4) as eng:
             out = eng.predict(raw)
         np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
+
+
+class TestChunkedSubmission:
+    def test_chunk_split_across_batches(self, packed):
+        """A chunk larger than batch_size splits; remainder carries over."""
+        imgs = _images(10, seed=4)
+        gold = np.asarray(mlp_forward(packed, jnp.asarray(imgs)))
+        with ServeEngine(packed, batch_size=4) as eng:
+            futs = eng.submit_many(imgs)  # 10 > 4 -> 3 batches via carry
+            out = np.stack([f.result(timeout=300) for f in futs])
+            stats = eng.stats()
+        np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
+        assert stats["images"] == 10
+
+    def test_interleaved_single_and_chunked(self, packed):
+        imgs = _images(7, seed=5)
+        gold = np.asarray(mlp_forward(packed, jnp.asarray(imgs)))
+        with ServeEngine(packed, batch_size=4, max_wait_ms=50) as eng:
+            f0 = eng.submit(imgs[0])
+            fs = eng.submit_many(imgs[1:5])
+            f1 = eng.submit(imgs[5])
+            f2 = eng.submit(imgs[6])
+            out = np.stack([f.result(timeout=300)
+                            for f in [f0, *fs, f1, f2]])
+        np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
