@@ -18,6 +18,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> int:
+    """Multi-host bring-up: call once per host BEFORE any jax op, then build
+    the mesh as usual — ``jax.devices()`` becomes the global device list and
+    the same mesh/sharding/serving code runs unchanged on a pod slice
+    (host-count is pure config, SURVEY.md §7.4 item 5).
+
+    On GCE/GKE TPU pods all three arguments auto-detect (pass nothing);
+    elsewhere pass coordinator 'host0:port', world size, and this host's
+    rank. Returns the process index. Safe to call on a single host with no
+    arguments only when a cluster env is present; single-process runs should
+    simply not call it.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()
+
+
 def make_mesh(n_devices: int | None = None, model_parallel: int | None = None,
               devices=None) -> Mesh:
     """Build a (data, model) mesh over ``n_devices``.

@@ -119,10 +119,15 @@ CIFAR10_TNN = Config(
 # engine (qnx.serve); model hyperparameters identical to CIFAR10_BNN
 CIFAR10_BNN_SERVE = CIFAR10_BNN
 
+# SVHN uses the same VGG topology as CIFAR (32x32x3 inputs; BinaryNet
+# trains it with fewer epochs since SVHN has ~600k train images)
+SVHN_BNN = CIFAR10_BNN.replace(dataset="SVHN", epochs=20)
+
 CONFIGS = {
     "mnist-bnn": MNIST_BNN,
     "mnist-tnn": MNIST_TNN,
     "cifar10-bnn": CIFAR10_BNN,
     "cifar10-tnn": CIFAR10_TNN,
     "cifar10-bnn-serve": CIFAR10_BNN_SERVE,
+    "svhn-bnn": SVHN_BNN,
 }

@@ -105,3 +105,24 @@ class TestDeviceResidentFit:
         state, history = fit(cf, ds.as_tuples())
         assert history[-1]["test"]["accuracy"] > 0.5
         assert int(state.step) == 4 * (ds.x_train.shape[0] // cf.batch_size)
+
+
+def test_svhn_preset_config():
+    from qnx.utils.config import CONFIGS
+
+    cf = CONFIGS["svhn-bnn"]
+    assert cf.dataset == "SVHN" and cf.architecture == "vgg"
+    assert cf.input_shape == (32, 32, 3)
+    assert cf.network_type == "full-bnn"
+
+
+def test_initialize_distributed_signature():
+    """Multi-host bring-up helper exists; actual pod init needs a cluster
+    (host-count is pure config — SURVEY.md §7.4 item 5)."""
+    import inspect
+
+    from qnx.parallel.mesh import initialize_distributed
+
+    params = inspect.signature(initialize_distributed).parameters
+    assert set(params) == {"coordinator_address", "num_processes",
+                           "process_id"}
