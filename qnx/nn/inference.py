@@ -25,7 +25,7 @@ from flax import struct
 
 from qnx.kernels.ternary_gemm import ternary_gemm
 from qnx.kernels.xnor_gemm import xnor_gemm_popcount
-from qnx.ops.packing import pack_bits
+from qnx.ops.packing import pack_bits_mxu
 
 Array = jax.Array
 
@@ -56,11 +56,12 @@ class FloatDenseBits(struct.PyTreeNode):
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
         z = (y - self.bn_mean) * mul + self.bn_bias
-        return pack_bits(z, axis=-1)
+        return pack_bits_mxu(z, axis=-1)
 
 
 class PackedDenseBits(struct.PyTreeNode):
-    """Binary hidden layer: popcount GEMM + integer threshold -> bits."""
+    """Binary hidden layer: fused popcount GEMM + integer threshold kernel
+    (int8 codes out of VMEM; only the 1-bit repack runs in XLA)."""
 
     wp: Array                    # (Kw, N) int32 packed
     sgn: Array                   # (N,) int32 in {+1,-1}
@@ -68,13 +69,14 @@ class PackedDenseBits(struct.PyTreeNode):
     k: int = struct.field(pytree_node=False, default=0)
 
     def __call__(self, bits: Array) -> Array:
-        s = xnor_gemm_popcount(bits, self.wp, self.k)
-        out_bits = (self.sgn[None, :] * s) >= self.tau[None, :]
-        return pack_bits(out_bits, axis=-1)
+        from qnx.kernels.xnor_conv_fused import xnor_gemm_fused
+
+        code = xnor_gemm_fused(bits, self.wp, self.k, self.sgn, self.tau)
+        return pack_bits_mxu(code, axis=-1)
 
 
 class TernaryDenseBits(struct.PyTreeNode):
-    """Ternary hidden layer: two-plane popcount GEMM + threshold -> bits."""
+    """Ternary hidden layer: fused two-plane popcount GEMM + threshold."""
 
     mask: Array                  # (Kw, N) int32
     sign: Array                  # (Kw, N) int32
@@ -83,9 +85,11 @@ class TernaryDenseBits(struct.PyTreeNode):
     tau: Array
 
     def __call__(self, bits: Array) -> Array:
-        s = ternary_gemm(bits, self.mask, self.sign, self.nnz)
-        out_bits = (self.sgn[None, :] * s) >= self.tau[None, :]
-        return pack_bits(out_bits, axis=-1)
+        from qnx.kernels.xnor_conv_fused import ternary_gemm_fused
+
+        code = ternary_gemm_fused(bits, self.mask, self.sign, self.nnz,
+                                  self.sgn, self.tau)
+        return pack_bits_mxu(code, axis=-1)
 
 
 class PackedDenseLogits(struct.PyTreeNode):
@@ -157,7 +161,7 @@ class FloatConvBits(struct.PyTreeNode):
             y = _maxpool2(y)
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
         z = (y - self.bn_mean) * mul + self.bn_bias
-        return pack_bits(z, axis=-1)
+        return pack_bits_mxu(z, axis=-1)
 
 
 def _maxpool2(y: Array) -> Array:
@@ -182,13 +186,11 @@ class PackedConvBits(struct.PyTreeNode):
     pool: bool = struct.field(pytree_node=False, default=False)
 
     def __call__(self, bits: Array) -> Array:
-        from qnx.kernels.xnor_conv import xnor_conv
+        from qnx.kernels.xnor_conv_fused import xnor_conv_fused
 
-        s = xnor_conv(bits, self.wp, self.k, self.corr)
-        out_bits = (self.sgn[None, None, None, :] * s) >= self.tau[None, None, None, :]
-        if self.pool:
-            out_bits = _pool_codes(out_bits.astype(jnp.int8), self.sgn)
-        return pack_bits(out_bits, axis=-1)
+        code = xnor_conv_fused(bits, self.wp, self.k, self.corr,
+                               self.sgn, self.tau, pool=self.pool)
+        return pack_bits_mxu(code, axis=-1)
 
 
 def _pool_codes(code: Array, sgn: Array) -> Array:
@@ -216,13 +218,12 @@ class TernaryConvBits(struct.PyTreeNode):
     pool: bool = struct.field(pytree_node=False, default=False)
 
     def __call__(self, bits: Array) -> Array:
-        from qnx.kernels.xnor_conv import ternary_conv
+        from qnx.kernels.xnor_conv_fused import ternary_conv_fused
 
-        s = ternary_conv(bits, self.mask, self.sign, self.nnz, self.corr)
-        out_bits = (self.sgn[None, None, None, :] * s) >= self.tau[None, None, None, :]
-        if self.pool:
-            out_bits = _pool_codes(out_bits.astype(jnp.int8), self.sgn)
-        return pack_bits(out_bits, axis=-1)
+        code = ternary_conv_fused(bits, self.mask, self.sign, self.nnz,
+                                  self.corr, self.sgn, self.tau,
+                                  pool=self.pool)
+        return pack_bits_mxu(code, axis=-1)
 
 
 class FloatDenseLogitsFromBits(struct.PyTreeNode):

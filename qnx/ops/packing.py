@@ -23,6 +23,8 @@ lanes") rather than porting reference code.
 """
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -54,6 +56,58 @@ def pack_bits(x: Array, axis: int = -1) -> Array:
     shifts = jnp.arange(WORD, dtype=jnp.uint32)
     words = jnp.sum(bits << shifts, axis=-1, dtype=jnp.uint32)
     words = lax.bitcast_convert_type(words, jnp.int32)
+    return jnp.moveaxis(words, -1, axis)
+
+
+@_functools.lru_cache(maxsize=None)
+def _pack_planes(n: int):
+    """Block-diagonal pow2 assembly matrix for :func:`pack_bits_mxu`.
+
+    Column g*nw + j accumulates bits 32j+s_g .. 32j+s_g+w_g-1 of word j with
+    weights 2^0..2^(w_g-1); groups of width <= 7 keep every entry <= 64 so
+    the matrix is int8 (MXU-native).  The final word is assembled by
+    shifting group g left by s_g and summing — exact as a 32-bit pattern
+    under int32 modular arithmetic."""
+    import numpy as np
+
+    groups = [(0, 7), (7, 7), (14, 7), (21, 7), (28, 4)]
+    nw = n // WORD
+    p = np.zeros((n, len(groups) * nw), np.int8)
+    for g, (s, wd) in enumerate(groups):
+        for j in range(nw):
+            for i in range(wd):
+                p[WORD * j + s + i, g * nw + j] = 1 << i
+    return p, tuple(s for s, _ in groups)
+
+
+def pack_bits_mxu(x: Array, axis: int = -1) -> Array:
+    """MXU formulation of :func:`pack_bits` for int8/bool codes.
+
+    The shift-sum pack materializes a 32x-wider uint32 intermediate and was
+    measured at ~10 ms on a (1M, 256) int8 code tensor on v5e — dominating
+    the fused packed conv layers.  This version computes the same words as
+    one int8 matmul against a constant block-diagonal pow2 matrix
+    (~2.7 GMAC for that tensor, <0.5 ms on the MXU) plus a cheap shift-sum
+    over 5 group columns.  Bit-identical to ``pack_bits`` (same strict-sign
+    convention: bit 1 iff x > 0); falls back to it when the packed axis is
+    not word-aligned."""
+    import numpy as np
+
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    if n % WORD:
+        return jnp.moveaxis(pack_bits(x, -1), -1, axis)
+    p, shifts = _pack_planes(n)
+    nw = n // WORD
+    bits = (x > 0).astype(jnp.int8)
+    parts = lax.dot_general(
+        bits, jnp.asarray(p),
+        dimension_numbers=(((bits.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    words = parts[..., :nw] << shifts[0]
+    for g in range(1, len(shifts)):
+        words = words + (parts[..., g * nw:(g + 1) * nw] << shifts[g])
     return jnp.moveaxis(words, -1, axis)
 
 

@@ -104,3 +104,37 @@ class TestBitplaneGemmRef:
             offset_weight_sum=jnp.zeros(10),
         )
         np.testing.assert_allclose(out, x @ w, atol=1e-4)
+
+
+class TestPackBitsMxu:
+    """MXU dot-based pack must be bit-identical to the shift-sum pack."""
+
+    def test_int8_codes(self):
+        import numpy as np
+        from qnx.ops.packing import pack_bits, pack_bits_mxu
+        rng = np.random.default_rng(3)
+        code = jnp.asarray(rng.choice([-1, 1], (7, 5, 256)).astype(np.int8))
+        np.testing.assert_array_equal(pack_bits_mxu(code, -1),
+                                      pack_bits(code, -1))
+
+    def test_float_input_strict_sign(self):
+        import numpy as np
+        from qnx.ops.packing import pack_bits, pack_bits_mxu
+        rng = np.random.default_rng(4)
+        z = jnp.asarray(rng.normal(size=(33, 128)).astype(np.float32))
+        z = z.at[0, :3].set(0.0)  # exact zeros pack as -1 (strict sign)
+        np.testing.assert_array_equal(pack_bits_mxu(z, -1), pack_bits(z, -1))
+
+    def test_unaligned_falls_back(self):
+        import numpy as np
+        from qnx.ops.packing import pack_bits, pack_bits_mxu
+        rng = np.random.default_rng(5)
+        z = jnp.asarray(rng.normal(size=(8, 45)).astype(np.float32))
+        np.testing.assert_array_equal(pack_bits_mxu(z, -1), pack_bits(z, -1))
+
+    def test_other_axis(self):
+        import numpy as np
+        from qnx.ops.packing import pack_bits, pack_bits_mxu
+        rng = np.random.default_rng(6)
+        z = jnp.asarray(rng.normal(size=(64, 9)).astype(np.float32))
+        np.testing.assert_array_equal(pack_bits_mxu(z, 0), pack_bits(z, 0))
