@@ -53,6 +53,22 @@ def _ternary_pattern(latent: np.ndarray, h: float, style: str):
     return t, alpha
 
 
+def _quant_grid(latent: np.ndarray, h: float, nb: int):
+    """Integer grid z and scale alpha for the pow2-grid weight quantizer
+    (qnx.ops.quant.quantize): Wq = alpha * z with
+
+        z = clip(round(latent/H * m), -m, m-1),  alpha = H/m,  m = 2^(nb-1).
+
+    np.round rounds half-to-even like jnp.round; op order mirrors quantize's
+    f32 steps, and alpha*z == H*(z/m) bit-for-bit because scaling by a power
+    of two is exact in f32.  z is int8-exact for nb <= 8."""
+    latent = np.asarray(latent, np.float32)
+    m = float(2 ** (nb - 1))
+    r = (latent / np.float32(h)).astype(np.float32)
+    z = np.clip(np.round((r * np.float32(m)).astype(np.float32)), -m, m - 1)
+    return z.astype(np.float32), float(h) / m
+
+
 def _bn(params: dict, stats: dict, name: str, eps: float):
     return dict(
         gamma=_np(params[name]["scale"]),
@@ -280,16 +296,29 @@ def pack_vgg_bitplane(variables: dict, cf: Config) -> I.PlaneVGG:
 def pack_int8(variables: dict, cf: Config):
     """Lower a trained model into the INT8-MXU engine
     (:mod:`qnx.nn.int8_engine`) — same integer semantics as the packed
-    popcount engine, weights as int8 {-1,0,+1}, activations as int8 ±1 or
-    level indices.  Handles every quantized config (binary/ternary weights,
-    abits >= 1, mlp and vgg, float/quantized boundary layers)."""
+    popcount engine.  Handles every quantized ``network_type``:
+
+    * ``full-bnn`` / ``full-tnn`` / ``full-qnn`` — true integer path:
+      weights as int8 ({-1,0,+1} or pow2-grid integers, wbits <= 8),
+      activations as int8 ±1 (abits=1) or level indices (abits > 1),
+      BN folded to integer thresholds.
+    * ``bnn`` / ``tnn`` / ``qnn`` — relu network types (quantized weights,
+      float relu activations, reference ``layers/quantized_layers.py``
+      semantics): int8 weight storage + on-the-fly dequant, float compute
+      (:class:`qnx.nn.int8_engine.I8WDense` et al.), bit-identical to the
+      fake-quant forward.
+    """
     from qnx.nn import int8_engine as E
     from qnx.transforms.bn_fold import fold_bn_levels
 
-    if cf.network_type not in ("full-bnn", "full-tnn"):
-        raise ValueError(f"int8 engine requires full-bnn/full-tnn; got "
-                         f"{cf.network_type}")
-    ternary = cf.network_type == "full-tnn"
+    if cf.network_type not in ("full-bnn", "full-tnn", "full-qnn",
+                               "bnn", "tnn", "qnn"):
+        raise ValueError(f"int8 engine requires a quantized network_type; "
+                         f"got {cf.network_type}")
+    if cf.network_type in ("full-qnn", "qnn") and cf.wbits > 8:
+        raise ValueError(
+            f"int8 engine holds pow2-grid weights as int8 integers, which "
+            f"requires wbits <= 8; got wbits={cf.wbits}")
     params = variables["params"]
     quant = variables.get("quant", {})
     stats = variables["batch_stats"]
@@ -305,9 +334,14 @@ def pack_int8(variables: dict, cf: Config):
         return latent, h, bias
 
     def pattern_alpha(latent, h):
-        if ternary:
+        if cf.network_type in ("full-tnn", "tnn"):
             return _ternary_pattern(latent, h, cf.ternary_style)
+        if cf.network_type in ("full-qnn", "qnn"):
+            return _quant_grid(latent, h, cf.wbits)
         return _binary_pattern(latent, h), h
+
+    if cf.network_type in ("bnn", "tnn", "qnn"):
+        return _pack_int8_relu(variables, cf, get, pattern_alpha, eps)
 
     def bn_of(name):
         return _bn(params, stats, name, eps)
@@ -386,6 +420,64 @@ def pack_int8(variables: dict, cf: Config):
                                     sgn=sgn, tau=tau, act=act))
         return E.I8VGG(first=first, convs=tuple(convs), denses=tuple(denses),
                        head=head_layer("dense_out", "bn_out"))
+
+    raise ValueError(f"unknown architecture {cf.architecture!r}")
+
+
+def _pack_int8_relu(variables: dict, cf: Config, get, pattern_alpha,
+                    eps: float):
+    """Relu-network-type lowering (``bnn`` / ``tnn`` / ``qnn``): quantized
+    weights stored int8 + scalar dequant scale, float relu activations —
+    the exact inference semantics of the reference's non-``full`` network
+    types, where only weights are quantized (SURVEY.md §1.2 L4 table)."""
+    from qnx.nn import int8_engine as E
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def wq(name):
+        latent, h, bias = get(name)
+        if h is None:  # float boundary layer: store f32, alpha = 1
+            w = jnp.asarray(latent.astype(np.float32))
+            a = jnp.float32(1.0)
+        else:
+            pattern, alpha = pattern_alpha(latent, h)
+            w = jnp.asarray(pattern.astype(np.int8))
+            a = jnp.float32(alpha)
+        return w, a, None if bias is None else jnp.asarray(bias)
+
+    def bn_kwargs(bn_name):
+        bn = _bn(params, stats, bn_name, eps)
+        return dict(bn_scale=jnp.asarray(bn["gamma"]),
+                    bn_bias=jnp.asarray(bn["beta"]),
+                    bn_mean=jnp.asarray(bn["mean"]),
+                    bn_var=jnp.asarray(bn["var"]), bn_eps=eps)
+
+    if cf.architecture == "mlp":
+        denses = []
+        for i in range(cf.num_hidden):
+            w, a, bias = wq(f"dense_{i}")
+            denses.append(E.I8WDense(w=w, alpha=a, bias=bias,
+                                     **bn_kwargs(f"bn_{i}")))
+        w, a, bias = wq("dense_out")
+        head = E.I8WHead(w=w, alpha=a, bias=bias, **bn_kwargs("bn_out"))
+        return E.I8MLP(first=denses[0], hidden=tuple(denses[1:]), head=head)
+
+    if cf.architecture == "vgg":
+        convs = []
+        for i in range(6):
+            w, a, bias = wq(f"conv_{i}")
+            convs.append(E.I8WConv(w=w, alpha=a, bias=bias, pool=i % 2 == 1,
+                                   **bn_kwargs(f"bn_conv_{i}")))
+        denses = []
+        for j in range(2):
+            w, a, bias = wq(f"dense_{j}")
+            denses.append(E.I8WDense(w=w, alpha=a, bias=bias,
+                                     **bn_kwargs(f"bn_dense_{j}")))
+        w, a, bias = wq("dense_out")
+        head = E.I8WHead(w=w, alpha=a, bias=bias, **bn_kwargs("bn_out"))
+        return E.I8VGG(first=convs[0], convs=tuple(convs[1:]),
+                       denses=tuple(denses), head=head)
 
     raise ValueError(f"unknown architecture {cf.architecture!r}")
 

@@ -219,6 +219,88 @@ class I8FloatHead(struct.PyTreeNode):
         return (y - self.bn_mean) * mul + self.bn_bias
 
 
+class I8WDense(struct.PyTreeNode):
+    """Dense with int8 *weights* and float activations (relu network types:
+    ``qnn`` / ``bnn`` / ``tnn`` — reference semantics: quantized weights,
+    full-precision relu activations, SURVEY.md §1.2 L4).
+
+    The real-bit artifact here is weight storage: pow2-grid weights are
+    ``alpha * z`` with ``z`` an integer in [-2^(nb-1), 2^(nb-1)-1] — int8 for
+    nb <= 8 — so the kernel lives in HBM at 4x f32 density and is dequantized
+    on the fly (one fused multiply).  ``alpha * z`` reproduces the fake-quant
+    weight VALUES bit-for-bit: both are fl(H * z * 2^-(nb-1)) because scaling
+    by a power of two is exact in f32.  Logits then agree with the fake-quant
+    golden model up to XLA fusion/FMA reassociation (argmax-exact).  Float
+    weights (boundary layers) are stored as-is with alpha = 1."""
+
+    w: Array                     # (K, N) int8 grid integers (or f32 for float)
+    alpha: Array                 # () f32 dequant scale
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+
+    def __call__(self, x: Array) -> Array:
+        w = self.w.astype(jnp.float32) * self.alpha
+        y = x @ w
+        if self.bias is not None:
+            y = y + self.bias
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        z = (y - self.bn_mean) * mul + self.bn_bias
+        return jax.nn.relu(z)
+
+
+class I8WConv(struct.PyTreeNode):
+    """Conv with int8 weights and float activations (relu network types).
+    Order matches the training graph: conv -> [maxpool] -> BN -> relu."""
+
+    w: Array                     # (kh,kw,C,N) int8 grid ints (or f32)
+    alpha: Array                 # () f32
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+    pool: bool = struct.field(pytree_node=False, default=False)
+
+    def __call__(self, x: Array) -> Array:
+        w = self.w.astype(jnp.float32) * self.alpha
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.bias is not None:
+            y = y + self.bias
+        if self.pool:
+            y = _maxpool2(y)
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        z = (y - self.bn_mean) * mul + self.bn_bias
+        return jax.nn.relu(z)
+
+
+class I8WHead(struct.PyTreeNode):
+    """Head for relu network types: logits = BN(x @ (alpha*w) + bias)."""
+
+    w: Array
+    alpha: Array
+    bias: Any
+    bn_scale: Array
+    bn_bias: Array
+    bn_mean: Array
+    bn_var: Array
+    bn_eps: float = struct.field(pytree_node=False, default=1e-4)
+
+    def __call__(self, x: Array) -> Array:
+        w = self.w.astype(jnp.float32) * self.alpha
+        y = x @ w
+        if self.bias is not None:
+            y = y + self.bias
+        mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
+        return (y - self.bn_mean) * mul + self.bn_bias
+
+
 class I8MLP(struct.PyTreeNode):
     first: I8FirstDense
     hidden: Tuple[Any, ...]
