@@ -5,7 +5,6 @@ from qnx.bench.microbench import time_fn_marginal
 from qnx.convert.pack_model import pack_vgg
 from qnx.models.factory import init_model
 from qnx.utils.config import CIFAR10_BNN
-from qnx.ops.packing import pack_bits
 
 def main(batch=1024):
     cf = CIFAR10_BNN
@@ -14,9 +13,10 @@ def main(batch=1024):
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 3),
                                 jnp.float32, -1.0, 1.0)
 
-    t = time_fn_marginal(jax.jit(lambda x, m: m.first(x)), images, packed, iters=16)
+    first = jax.jit(lambda x, m: m.first(x))
+    t = time_fn_marginal(first, images, packed, iters=16)
     print(f"first(float conv+BN+pack): {t*1e3:7.2f} ms")
-    bits = jax.jit(lambda x, m: m.first(x))(images, packed)
+    bits = first(images, packed)
     for i, layer in enumerate(packed.convs):
         f = jax.jit(lambda b, l: l(b))
         t = time_fn_marginal(f, bits, layer, iters=16)

@@ -115,7 +115,19 @@ def xnor_gemm_int8(x_pm1: Array, w_pm1: Array) -> Array:
 
 
 def xnor_gemm(xp, wp, k, strategy: str = "popcount", **kw):
-    """Strategy dispatcher used by benchmarks; see module docstring."""
+    """Strategy dispatcher used by benchmarks; see module docstring.
+
+    Takes *packed* int32 word inputs.  ``popcount`` runs the Pallas VPU
+    kernel directly on the words; ``int8`` unpacks to ±1 int8 and runs the
+    MXU matmul (:func:`xnor_gemm_int8`) — the unpack cost is part of what
+    that strategy pays, so benchmarking through this entry point compares
+    the two fairly from the same packed representation."""
     if strategy == "popcount":
         return xnor_gemm_popcount(xp, wp, k, **kw)
+    if strategy == "int8":
+        from qnx.ops.packing import unpack_bits
+
+        x = unpack_bits(xp, k, axis=-1)
+        w = unpack_bits(wp, k, axis=0)
+        return xnor_gemm_int8(x, w)
     raise ValueError(f"unknown strategy {strategy!r} for packed inputs")

@@ -91,8 +91,6 @@ def pack_bits_mxu(x: Array, axis: int = -1) -> Array:
     over 5 group columns.  Bit-identical to ``pack_bits`` (same strict-sign
     convention: bit 1 iff x > 0); falls back to it when the packed axis is
     not word-aligned."""
-    import numpy as np
-
     x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     if n % WORD:

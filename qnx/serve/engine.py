@@ -19,6 +19,7 @@ local — identical code path (SURVEY.md §7.4 item 5).
 from __future__ import annotations
 
 import queue
+import random
 import threading
 import time
 from concurrent.futures import Future
@@ -28,6 +29,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: Cap on retained latency samples — the engine runs indefinitely, so stats
+#: use reservoir sampling instead of an unbounded list.
+LATENCY_RESERVOIR = 8192
+
 
 @dataclass
 class ServeStats:
@@ -36,6 +41,20 @@ class ServeStats:
     padded: int = 0
     total_batch_ms: float = 0.0
     latencies_ms: list = field(default_factory=list)
+    _lat_seen: int = 0
+    _rng: random.Random = field(default_factory=lambda: random.Random(0))
+
+    def record_latency(self, lat_ms: float, count: int = 1) -> None:
+        """Reservoir-sample latencies so memory stays O(LATENCY_RESERVOIR)
+        over an unbounded serving lifetime; percentiles remain unbiased."""
+        for _ in range(count):
+            self._lat_seen += 1
+            if len(self.latencies_ms) < LATENCY_RESERVOIR:
+                self.latencies_ms.append(lat_ms)
+            else:
+                j = self._rng.randrange(self._lat_seen)
+                if j < LATENCY_RESERVOIR:
+                    self.latencies_ms[j] = lat_ms
 
     def summary(self) -> dict:
         lat = np.asarray(self.latencies_ms) if self.latencies_ms else np.zeros(1)
@@ -47,6 +66,7 @@ class ServeStats:
             "throughput_ips": self.images / busy_s if busy_s > 0 else 0.0,
             "latency_ms_p50": float(np.percentile(lat, 50)),
             "latency_ms_p99": float(np.percentile(lat, 99)),
+            "latency_samples": self._lat_seen,
         }
 
 
@@ -60,11 +80,16 @@ class ServeEngine:
         with the data sharding. None = single-device.
       max_wait_ms: dispatcher linger — how long to wait to fill a batch
         before flushing a partial one.
+      max_queue: bound on queued request *chunks* (backpressure). When the
+        queue is full, ``submit``/``submit_many`` block until there is room
+        (or raise ``queue.Full`` after ``submit_timeout`` seconds if one is
+        given). ``None`` = unbounded (bench-style firehose clients).
     """
 
     def __init__(self, model, batch_size: int = 256, mesh=None,
                  max_wait_ms: float = 2.0, forward=None,
-                 device_normalize: bool = True):
+                 device_normalize: bool = True,
+                 max_queue: int | None = 1024):
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.mesh = mesh
@@ -91,7 +116,7 @@ class ServeEngine:
             return base(m, x)
 
         self._forward = jax.jit(fwd)
-        self._queue: queue.Queue = queue.Queue()
+        self._queue: queue.Queue = queue.Queue(maxsize=max_queue or 0)
         self._carry = None   # split-chunk remainder (dispatcher-only)
         self._total = 0
         self._stats = ServeStats()
@@ -101,32 +126,61 @@ class ServeEngine:
     # ---------------- public API ----------------
 
     def start(self):
+        self._stop.clear()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
 
     def stop(self):
+        """Stop the dispatcher and CANCEL all still-queued requests.
+
+        Every future handed out by submit/submit_many is resolved one way
+        or another: completed batches were resolved by the dispatcher;
+        anything still queued (or carried over from a split chunk) is
+        cancelled here so clients blocked on ``.result()`` wake up instead
+        of hanging forever."""
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
+            self._thread = None
+        # Dispatcher is dead; drain and cancel whatever it never ran.
+        pending = []
+        if self._carry is not None:
+            pending.append(self._carry)
+            self._carry = None
+        while True:
+            try:
+                pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for _, futs, _ in pending:
+            for fut in futs:
+                fut.cancel()
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray, timeout: float | None = None) -> Future:
         """Enqueue one image; resolves to its logits (np.ndarray).
 
         uint8 images are accepted raw and normalized to [-1, 1] batch-wise
         in the dispatcher via the native host runtime (qnx.native) — the
         CPU-bound preprocessing step stays off the Python hot path."""
-        return self.submit_many(np.asarray(image)[None])[0]
+        return self.submit_many(np.asarray(image)[None], timeout=timeout)[0]
 
-    def submit_many(self, images: np.ndarray) -> list[Future]:
+    def submit_many(self, images: np.ndarray,
+                    timeout: float | None = None) -> list[Future]:
         """Enqueue a chunk of images as ONE queue item (one lock round-trip
         and one numpy block per chunk instead of per request — the request
-        plane is host-bound, so bulk clients should prefer this)."""
+        plane is host-bound, so bulk clients should prefer this).
+
+        Backpressure: when the engine was built with ``max_queue``, a full
+        queue makes this call block until the dispatcher frees room;
+        ``timeout`` (seconds) turns the block into ``queue.Full``."""
+        if self._stop.is_set():
+            raise RuntimeError("engine is stopped")
         images = np.asarray(images)
         if images.dtype != np.uint8:
             images = np.asarray(images, np.float32)
         futs = [Future() for _ in range(len(images))]
-        self._queue.put((images, futs, time.perf_counter()))
+        self._queue.put((images, futs, time.perf_counter()), timeout=timeout)
         return futs
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -181,42 +235,51 @@ class ServeEngine:
         return chunks
 
     def _loop(self):
-        from qnx.native import u8_to_f32
-
         while not self._stop.is_set():
             chunks = self._drain()
             if not chunks:
                 continue
-            n = self._total
-            if self.device_normalize and all(
-                    imgs.dtype == np.uint8 for imgs, _, _ in chunks):
-                # ship raw uint8; normalization happens in-jit on device
-                arrs = [imgs for imgs, _, _ in chunks]
-            else:
-                arrs = [u8_to_f32(imgs) if imgs.dtype == np.uint8 else imgs
-                        for imgs, _, _ in chunks]
-            images = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
-            pad = self.batch_size - n
-            if pad:
-                images = np.concatenate(
-                    [images,
-                     np.zeros((pad, *images.shape[1:]), images.dtype)])
-            x = jnp.asarray(images)
-            if self._data_sharding is not None:
-                x = jax.device_put(x, self._data_sharding)
-            t0 = time.perf_counter()
-            logits = np.asarray(
-                jax.block_until_ready(self._forward(self.model, x)))
-            dt_ms = (time.perf_counter() - t0) * 1e3
-            done = time.perf_counter()
-            self._stats.batches += 1
-            self._stats.images += n
-            self._stats.padded += pad
-            self._stats.total_batch_ms += dt_ms
-            off = 0
-            for _, futs, t_in in chunks:
-                lat = (done - t_in) * 1e3
-                for fut in futs:
-                    self._stats.latencies_ms.append(lat)
-                    fut.set_result(logits[off])
-                    off += 1
+            try:
+                self._run_batch(chunks)
+            except Exception as e:  # resolve, never leak, this batch's futures
+                for _, futs, _ in chunks:
+                    for fut in futs:
+                        if not fut.done():
+                            fut.set_exception(e)
+
+    def _run_batch(self, chunks):
+        from qnx.native import u8_to_f32
+
+        n = self._total
+        if self.device_normalize and all(
+                imgs.dtype == np.uint8 for imgs, _, _ in chunks):
+            # ship raw uint8; normalization happens in-jit on device
+            arrs = [imgs for imgs, _, _ in chunks]
+        else:
+            arrs = [u8_to_f32(imgs) if imgs.dtype == np.uint8 else imgs
+                    for imgs, _, _ in chunks]
+        images = arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
+        pad = self.batch_size - n
+        if pad:
+            images = np.concatenate(
+                [images,
+                 np.zeros((pad, *images.shape[1:]), images.dtype)])
+        x = jnp.asarray(images)
+        if self._data_sharding is not None:
+            x = jax.device_put(x, self._data_sharding)
+        t0 = time.perf_counter()
+        logits = np.asarray(
+            jax.block_until_ready(self._forward(self.model, x)))
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        done = time.perf_counter()
+        self._stats.batches += 1
+        self._stats.images += n
+        self._stats.padded += pad
+        self._stats.total_batch_ms += dt_ms
+        off = 0
+        for _, futs, t_in in chunks:
+            lat = (done - t_in) * 1e3
+            self._stats.record_latency(lat, count=len(futs))
+            for fut in futs:
+                fut.set_result(logits[off])
+                off += 1

@@ -75,7 +75,14 @@ def fold_bn_sign(
         else np.broadcast_to(np.asarray(bias, np.float64), gamma.shape)
     )
     if np.any(alpha <= 0):
-        raise ValueError("alpha (weight scale) must be positive")
+        raise ValueError(
+            "alpha (weight scale) must be positive: the scale is folded into "
+            "the threshold by dividing through it, so a non-positive alpha "
+            "would flip (or collapse) the comparison direction, which this "
+            "fold expresses only via the gamma sign. H and TWN alpha are "
+            "positive by construction; fold a negative scale's sign into the "
+            "weight plane before calling."
+        )
     std = np.sqrt(var + eps)
     # y > 0  <=>  gamma * (alpha*s + bias - mean) > -beta * std
     theta = (mean - bias - beta * std / np.where(gamma == 0, 1.0, gamma)) / alpha
@@ -144,7 +151,14 @@ def fold_bn_levels(
         else np.broadcast_to(np.asarray(bias, np.float64), gamma.shape)
     )
     if np.any(alpha <= 0):
-        raise ValueError("alpha (weight scale) must be positive")
+        raise ValueError(
+            "alpha (weight scale) must be positive: the scale is folded into "
+            "the threshold by dividing through it, so a non-positive alpha "
+            "would flip (or collapse) the comparison direction, which this "
+            "fold expresses only via the gamma sign. H and TWN alpha are "
+            "positive by construction; fold a negative scale's sign into the "
+            "weight plane before calling."
+        )
     levels = 2 ** (nb - 1)
     q = float(2.0 ** (1 - nb))
     std = np.sqrt(var + eps)

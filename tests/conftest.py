@@ -3,7 +3,7 @@
 By default tests run on CPU with 8 virtual devices so that mesh/sharding
 logic and multi-chip code paths are exercised without TPU hardware
 (SURVEY.md §4.2 item 4).  Pallas kernels automatically fall back to
-interpreter mode off-TPU (see qnx.kernels._backend.interpret_default).
+interpreter mode off-TPU (see qnx.kernels.xnor_gemm._interpret_default).
 
 Set ``QNX_TEST_TPU=1`` to run the suite on the real TPU instead (single
 chip; sharding tests that need >1 device will skip).

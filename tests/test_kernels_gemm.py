@@ -70,3 +70,21 @@ class TestTernaryGemm:
         mask, sign, nnz = P.pack_ternary(w, axis=0)
         out = ternary_gemm(P.pack_bits(x, -1), mask, sign, nnz)
         np.testing.assert_array_equal(out, jnp.zeros((4, 8), jnp.int32))
+
+
+class TestDispatcher:
+    @pytest.mark.parametrize("strategy", ["popcount", "int8"])
+    def test_strategies_agree(self, strategy):
+        from qnx.kernels.xnor_gemm import xnor_gemm
+
+        m, k, n = 16, 64, 24
+        kx, kw = jax.random.split(jax.random.PRNGKey(42))
+        x, w = rand_pm1(kx, (m, k)), rand_pm1(kw, (k, n))
+        out = xnor_gemm(P.pack_bits(x, -1), P.pack_bits(w, 0), k, strategy=strategy)
+        np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+    def test_unknown_strategy_raises(self):
+        from qnx.kernels.xnor_gemm import xnor_gemm
+
+        with pytest.raises(ValueError, match="unknown strategy"):
+            xnor_gemm(jnp.zeros((1, 1), jnp.int32), jnp.zeros((1, 1), jnp.int32), 32, strategy="nope")
