@@ -79,6 +79,42 @@ def _keras3_order_key(name: str) -> tuple:
     return (m.group(1), int(m.group(2) or 0))
 
 
+def _fans(lv: LayerVars) -> tuple[int, int]:
+    """(fan_in, fan_out) of a compute layer's kernel: dense (in, out) or
+    conv (kh, kw, cin, cout) → (cin, cout)."""
+    k = lv.arrays[0]
+    return (k.shape[0], k.shape[1]) if lv.kind == "dense" else (
+        k.shape[2], k.shape[3])
+
+
+def _check_chaining(compute: list[LayerVars], bns: list[LayerVars]) -> None:
+    """Validate the reconstructed order by kernel-shape chaining: layer i's
+    fan_out must feed layer i+1's fan_in (conv→dense flattens spatial, so
+    divisibility is the invariant there), and each interleaved BN must have
+    vectors sized to its compute layer's fan_out.  The Keras-3 layout stores
+    no explicit model order — this turns a silent mis-ordering (e.g. a model
+    with non-alternating BN or unexpected extra layers) into a hard error."""
+    for i in range(len(compute) - 1):
+        a, b = compute[i], compute[i + 1]
+        _, out_a = _fans(a)
+        in_b, _ = _fans(b)
+        ok = (in_b % out_a == 0) if (a.kind == "conv" and b.kind == "dense") \
+            else (in_b == out_a)
+        if not ok:
+            raise ValueError(
+                f"reconstructed layer order fails kernel-shape chaining: "
+                f"{a.kind} {a.name!r} (fan_out {out_a}) -> {b.kind} "
+                f"{b.name!r} (fan_in {in_b}); the checkpoint's topology "
+                f"does not match the assumed sequential compute->BN order")
+    for lv, bn in zip(compute, bns):
+        _, out_c = _fans(lv)
+        if bn.arrays[0].shape[0] != out_c:
+            raise ValueError(
+                f"BN {bn.name!r} has {bn.arrays[0].shape[0]}-channel vectors "
+                f"but its compute layer {lv.name!r} has fan_out {out_c}; "
+                f"BN interleaving reconstruction is wrong for this file")
+
+
 def _read_keras3(f: h5py.File) -> list[LayerVars]:
     layers_group = f["layers"]
     named = []
@@ -88,12 +124,19 @@ def _read_keras3(f: h5py.File) -> list[LayerVars]:
             continue
         arrays = [np.asarray(g["vars"][str(i)]) for i in range(len(g["vars"]))]
         named.append(LayerVars(_classify(arrays), lname, arrays))
-    # reconstruct model order: per-type index, then interleave dense/conv
-    # with their following bn by index (the reference topology alternates
-    # compute layer -> BN)
-    named.sort(key=lambda lv: _keras3_order_key(lv.name)[1])
-    compute = [lv for lv in named if lv.kind in ("dense", "conv")]
-    bns = [lv for lv in named if lv.kind == "bn"]
+    # Reconstruct model order.  Keras-3 auto-names carry a per-class index
+    # (conv2d, conv2d_1, …, dense, dense_1, …) giving creation order WITHIN
+    # a class but not across classes, so sort each kind by its own index and
+    # lay out convs before denses — the reference family's only topology
+    # (feature extractor -> classifier head).  BN follows each compute layer
+    # in creation order, so bns[i] pairs with compute[i].  _check_chaining
+    # turns any violation of these assumptions into a hard error instead of
+    # a silently mis-ordered model.
+    idx = lambda lv: _keras3_order_key(lv.name)[1]
+    compute = sorted([lv for lv in named if lv.kind == "conv"], key=idx) + \
+        sorted([lv for lv in named if lv.kind == "dense"], key=idx)
+    bns = sorted([lv for lv in named if lv.kind == "bn"], key=idx)
+    _check_chaining(compute, bns)
     out = []
     for i, lv in enumerate(compute):
         out.append(lv)
