@@ -81,8 +81,15 @@ def _rand_pm1_i8(key, shape):
     return jax.random.bernoulli(key, 0.5, shape).astype(jnp.int8) * 2 - 1
 
 
+#: (hw, cin, cout, pool, tag) per measured VGG conv layer (width 128).
+CONV_SHAPES = [(32, 128, 128, True, "conv2"),
+               (16, 256, 256, True, "conv4"),
+               (8, 512, 512, True, "conv6")]
+
+
 def measure_kernels(batch: int = 1024, iters: int | None = None,
-                    repeats: int = 5) -> list[KernelResult]:
+                    repeats: int = 5, gemm_k: int = 4096, gemm_n: int = 4096,
+                    conv_shapes: list | None = None) -> list[KernelResult]:
     """Measure the hot kernels at headline shapes. Returns KernelResults."""
     from qnx.kernels.i8_conv_fused import i8_conv_fused
     from qnx.kernels.ternary_gemm import ternary_gemm
@@ -94,7 +101,7 @@ def measure_kernels(batch: int = 1024, iters: int | None = None,
     out: list[KernelResult] = []
 
     # --- int8 MXU GEMM (MLP hidden layer shape: 4096x4096) ---
-    m, k, n = batch, 4096, 4096
+    m, k, n = batch, gemm_k, gemm_n
     x8 = _rand_pm1_i8(ks[0], (m, k))
     w8 = _rand_pm1_i8(ks[1], (k, n))
     t = time_fn_marginal(xnor_gemm_int8, x8, w8, iters=iters, repeats=repeats)
@@ -127,9 +134,8 @@ def measure_kernels(batch: int = 1024, iters: int | None = None,
         ops_per_mac=4 / 32))  # xor + and + popcount + add per 32-bit word
 
     # --- int8 conv layers (CIFAR VGG, width 128): XLA conv vs fused ---
-    for (hw, cin, cout, tag) in [(32, 128, 128, "conv2"),
-                                 (16, 256, 256, "conv4"),
-                                 (8, 512, 512, "conv6")]:
+    for (hw, cin, cout, _pool, tag) in (
+            CONV_SHAPES if conv_shapes is None else conv_shapes):
         xc = _rand_pm1_i8(ks[3], (batch, hw, hw, cin))
         wc = jax.random.randint(ks[4], (3, 3, cin, cout), -1, 2, jnp.int8)
         sgn = jax.random.choice(ks[5], jnp.array([-1, 1], jnp.int32), (cout,))
@@ -156,6 +162,57 @@ def measure_kernels(batch: int = 1024, iters: int | None = None,
         out.append(KernelResult(
             f"int8 conv+epilogue [Pallas fused] {tag} {hw}x{hw} {cin}->{cout}",
             t, macs, bts, "int8_macs"))
+
+    # --- fused packed conv kernels (the round-2 VGG hot path): measured
+    # end-to-end as the engine runs them — XLA packed-patch extraction +
+    # Pallas popcount GEMM + in-kernel threshold/pool epilogue.  bytes_moved
+    # counts the formulation's real traffic: packed input read, the 9x
+    # patch materialization (write + read), weight planes, int8 codes out.
+    from qnx.kernels.xnor_conv import (pack_conv_ternary_np,
+                                       pack_conv_weights_np,
+                                       padding_correction)
+    from qnx.kernels.xnor_conv_fused import ternary_conv_fused, xnor_conv_fused
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for (hw, cin, cout, pool, tag) in (
+            CONV_SHAPES if conv_shapes is None else conv_shapes):
+        cw = cin // 32
+        xpb = jnp.asarray(
+            rng.integers(-2**31, 2**31, (batch, hw, hw, cw), np.int64)
+            .astype(np.int32))
+        sgn = jnp.asarray(rng.choice([-1, 1], cout).astype(np.int32))
+        tau = jnp.asarray(rng.integers(-20, 20, cout).astype(np.int32))
+        macs = batch * hw * hw * 9 * cin * cout
+        hw_out = hw // 2 if pool else hw
+        bts = 4 * (batch * hw * hw * cw            # packed input read
+                   + 2 * batch * hw * hw * 9 * cw  # patch write + read
+                   + 9 * cw * cout)                # weight planes
+        bts += batch * hw_out * hw_out * cout      # int8 codes out
+
+        patb = rng.choice([-1.0, 1.0], (3, 3, cin, cout)).astype(np.float32)
+        wpb, ktrue = pack_conv_weights_np(patb)
+        corrb = jnp.asarray(padding_correction(patb, hw, hw))
+        t = time_fn_marginal(
+            lambda x, w: xnor_conv_fused(x, w, ktrue, corrb, sgn, tau,
+                                         pool=pool),
+            xpb, jnp.asarray(wpb), iters=iters, repeats=repeats)
+        out.append(KernelResult(
+            f"xnor conv fused [patch-GEMM+pool] {tag} {hw}x{hw} {cin}->{cout}",
+            t, macs, bts, "vpu_int32_ops", ops_per_mac=3 / 32))
+
+        patt = rng.choice([-1.0, 0.0, 1.0], (3, 3, cin, cout)).astype(np.float32)
+        maskb, signb, nnzb = pack_conv_ternary_np(patt)
+        corrt = jnp.asarray(padding_correction(patt, hw, hw))
+        t = time_fn_marginal(
+            lambda x, m: ternary_conv_fused(
+                x, m, jnp.asarray(signb), jnp.asarray(nnzb), corrt, sgn, tau,
+                pool=pool),
+            xpb, jnp.asarray(maskb), iters=iters, repeats=repeats)
+        out.append(KernelResult(
+            f"ternary conv fused [patch-GEMM+pool] {tag} {hw}x{hw} {cin}->{cout}",
+            t, macs, bts + 4 * 9 * cw * cout, "vpu_int32_ops",
+            ops_per_mac=4 / 32))
 
     # --- calibration GEMMs (context rows) ---
     xf = jax.random.normal(ks[7], (2048, 4096), jnp.bfloat16)

@@ -24,6 +24,21 @@ def test_kernel_result_roofline_math():
     assert r.bound == "memory"
 
 
+def test_measure_kernels_smoke_tiny():
+    """The full measurement path (incl. the fused packed conv rows added in
+    round 3) runs end-to-end at tiny shapes on the CPU mesh; values are not
+    rooflines here, only structure/shape plumbing is validated."""
+    from qnx.bench.roofline import measure_kernels
+
+    rows = measure_kernels(batch=32, iters=2, repeats=1, gemm_k=64, gemm_n=64,
+                           conv_shapes=[(8, 32, 32, True, "tiny")])
+    names = [r.name for r in rows]
+    assert any("xnor conv fused" in n for n in names)
+    assert any("ternary conv fused" in n for n in names)
+    assert all(r.t_measured_s > 0 for r in rows)
+    assert all(np.isfinite(r.speed_of_light) for r in rows)
+
+
 def test_vgg_layer_macs_match_architecture():
     total = sum(h * w * 9 * cin * cout
                 for (h, w, cin, cout) in vgg_layers(128))
