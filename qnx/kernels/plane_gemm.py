@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .xnor_gemm import _interpret_default, _popcount
+from .xnor_gemm import _interpret_default, _popcount, check_block_shape
 
 Array = jax.Array
 
@@ -61,6 +61,7 @@ def plane_gemm(
     kw2, n = mask.shape
     assert kw == kw2 and mask.shape == msign.shape
     bm, bn = min(block_m, m), min(block_n, n)
+    check_block_shape(bm, m, bn, n)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     return pl.pallas_call(
         functools.partial(_plane_gemm_kernel, kw=kw),

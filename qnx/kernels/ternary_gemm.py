@@ -21,7 +21,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .xnor_gemm import _interpret_default, _popcount
+from .xnor_gemm import _interpret_default, _popcount, check_block_shape
 
 Array = jax.Array
 
@@ -58,6 +58,7 @@ def ternary_gemm(
     kw2, n = mask.shape
     assert kw == kw2 and mask.shape == sign.shape and nnz.shape == (n,)
     bm, bn = min(block_m, m), min(block_n, n)
+    check_block_shape(bm, m, bn, n)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     nnz2d = nnz.reshape(1, n)
     return pl.pallas_call(

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .xnor_conv import extract_packed_patches
-from .xnor_gemm import _interpret_default, _popcount
+from .xnor_gemm import _interpret_default, _popcount, check_block_shape
 
 Array = jax.Array
 
@@ -117,8 +117,10 @@ def _gemm_fused(xp, w_plane, s_plane, base, corr, sgn, tau, *, ternary,
     n = w_plane.shape[1]
     assert w_plane.shape == (kw, n)
     bm, bn = min(block_m, m), min(block_n, n)
+    check_block_shape(bm, m, bn, n)
     if pool_w:
         assert bm % (2 * pool_w) == 0 and m % bm == 0, (bm, pool_w, m)
+        check_block_shape(bm // 2, m // 2, bn, n)  # pooled output block
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     base2 = jnp.broadcast_to(jnp.asarray(base, jnp.int32).reshape(-1), (n,))
 
@@ -224,12 +226,19 @@ def _conv_blocks(hw: int, m: int, n: int, pool_w: int = 0) -> tuple[int, int]:
     bn = min(n, 512)
     target = 512 if bn <= 256 else 128
     step = 2 * pool_w if pool_w else 1
+
+    def legal(bm):
+        # corr alignment + Mosaic block-shape rule (input AND pooled output)
+        return (m % bm == 0 and (bm % hw == 0 or hw % bm == 0)
+                and (bm == m or bm % 8 == 0)
+                and (not pool_w or bm == m or (bm // 2) % 8 == 0))
+
     bm = max(step, (target // step) * step)
     while bm > step:
-        if m % bm == 0 and (bm % hw == 0 or hw % bm == 0):
+        if legal(bm):
             return bm, bn
         bm -= step
-    return step, bn
+    return (step if legal(step) else m), bn
 
 
 def _conv_fused(xp, w_plane, s_plane, base, corr, sgn, tau, *, ternary,

@@ -38,6 +38,25 @@ def _popcount(words: Array) -> Array:
     return lax.population_count(words)
 
 
+def check_block_shape(bm: int, m: int, bn: int, n: int) -> None:
+    """Enforce Mosaic's block-shape rule on EVERY backend.
+
+    TPU lowering requires the last two dims of a block be divisible by
+    (8, 128) respectively, or equal to the full array dims.  The Pallas
+    interpreter accepts anything, so without this check a block size that
+    passes the CPU test mesh can fail Mosaic on the chip (found by the
+    round-3 on-chip suite run).  Raising here keeps interpret mode faithful
+    to hardware."""
+    if not (bm == m or bm % 8 == 0):
+        raise ValueError(
+            f"block_m={bm} is not Mosaic-lowerable for m={m}: the sublane "
+            f"block dim must be a multiple of 8 or the full array dim")
+    if not (bn == n or bn % 128 == 0):
+        raise ValueError(
+            f"block_n={bn} is not Mosaic-lowerable for n={n}: the lane "
+            f"block dim must be a multiple of 128 or the full array dim")
+
+
 def _xnor_gemm_kernel(x_ref, w_ref, out_ref, *, k: int, kw: int):
     """One (TM, TN) output tile: rank-1 popcount updates over the packed
     reduction axis.
@@ -80,6 +99,7 @@ def xnor_gemm_popcount(
     kw2, n = wp.shape
     assert kw == kw2, (xp.shape, wp.shape)
     bm, bn = min(block_m, m), min(block_n, n)
+    check_block_shape(bm, m, bn, n)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     return pl.pallas_call(
         functools.partial(_xnor_gemm_kernel, k=k, kw=kw),

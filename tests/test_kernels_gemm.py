@@ -34,13 +34,27 @@ class TestXnorGemmPopcount:
         np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
 
     def test_small_blocks_multi_tile(self):
-        m, k, n = 70, 96, 50
+        # Mosaic-legal small blocks (bm % 8 == 0, bn % 128 == 0) with m NOT
+        # a block multiple: exercises the grid and the padded edge tile.
+        m, k, n = 80, 96, 256
         kx, kw = jax.random.split(jax.random.PRNGKey(0))
         x, w = rand_pm1(kx, (m, k)), rand_pm1(kw, (k, n))
         out = xnor_gemm_popcount(
-            P.pack_bits(x, -1), P.pack_bits(w, 0), k, block_m=32, block_n=32
+            P.pack_bits(x, -1), P.pack_bits(w, 0), k, block_m=32, block_n=128
         )
         np.testing.assert_array_equal(out, (x @ w).astype(jnp.int32))
+
+    def test_mosaic_illegal_blocks_rejected(self):
+        # Blocks the interpreter would accept but Mosaic cannot lower must
+        # raise on every backend (round-3 on-chip suite finding).
+        m, k, n = 70, 96, 50
+        kx, kw = jax.random.split(jax.random.PRNGKey(0))
+        x, w = rand_pm1(kx, (m, k)), rand_pm1(kw, (k, n))
+        xp, wp = P.pack_bits(x, -1), P.pack_bits(w, 0)
+        with pytest.raises(ValueError, match="block_m"):
+            xnor_gemm_popcount(xp, wp, k, block_m=12, block_n=n)
+        with pytest.raises(ValueError, match="block_n"):
+            xnor_gemm_popcount(xp, wp, k, block_m=m, block_n=32)
 
 
 class TestXnorGemmInt8:

@@ -81,9 +81,10 @@ class TestXnorConvFused:
         np.testing.assert_array_equal(out, ref)
 
     def test_blocked_grid(self):
-        """block_m/block_n smaller than the problem exercises the grid and
-        the row-periodic corr block cycling."""
-        b, h, w, c, n = 4, 6, 6, 64, 96
+        """Mosaic-legal block_m/block_n smaller than the problem exercises
+        the grid and the row-periodic corr block cycling (corr period
+        hw=36 < block_m=72, so corr is tiled into the block)."""
+        b, h, w, c, n = 4, 6, 6, 64, 256
         key = jax.random.PRNGKey(0)
         kx, kw_, ke = jax.random.split(key, 3)
         x = rand_pm1(kx, (b, h, w, c))
@@ -94,10 +95,25 @@ class TestXnorConvFused:
         corr = padding_correction(wgt, h, w)
         out = xnor_conv_fused(xp, jnp.asarray(wp), k, jnp.asarray(corr),
                               jnp.asarray(sgn), jnp.asarray(tau),
-                              block_m=12, block_n=32)
+                              block_m=72, block_n=128)
         ref = conv_ref(jnp.asarray(x), jnp.asarray(wgt),
                        jnp.asarray(sgn), jnp.asarray(tau), False)
         np.testing.assert_array_equal(out, ref)
+
+    def test_mosaic_illegal_block_rejected(self):
+        b, h, w, c, n = 4, 6, 6, 64, 96
+        key = jax.random.PRNGKey(0)
+        kx, kw_, ke = jax.random.split(key, 3)
+        x = rand_pm1(kx, (b, h, w, c))
+        wgt = rand_pm1(kw_, (3, 3, c, n))
+        sgn, tau = epilogue_params(ke, n)
+        xp = P.pack_bits(jnp.asarray(x), axis=-1)
+        wp, k = pack_conv_weights_np(wgt)
+        corr = padding_correction(wgt, h, w)
+        with pytest.raises(ValueError, match="block_m"):
+            xnor_conv_fused(xp, jnp.asarray(wp), k, jnp.asarray(corr),
+                            jnp.asarray(sgn), jnp.asarray(tau),
+                            block_m=12, block_n=32)
 
 
 class TestTernaryConvFused:
