@@ -47,15 +47,20 @@ def main(batch=1024, width=128, iters=32):
     # float32 baselines: same architecture, float weights/activations.
     # strict = true f32 arithmetic (the reference's); relaxed = XLA default
     # (bf16 multiplies on the MXU).
+    # Baseline forward is the plain-XLA float twin (qnx.bench.float_baseline):
+    # the model zoo's float layers pin true-f32 precision for bit-parity, so
+    # they no longer measure what a default-precision float model costs.
+    from qnx.bench.float_baseline import float_forward
+
     cf_f = cf.replace(network_type="float")
-    module_f, vars_f = init_model(cf_f, jax.random.PRNGKey(0))
+    _, vars_f = init_model(cf_f, jax.random.PRNGKey(0))
 
     with jax.default_matmul_precision("highest"):
         t_f32 = time_fn_marginal(
-            lambda x, v: module_f.apply(v, x, train=False), images, vars_f,
+            lambda x, v: float_forward(v, cf_f, x), images, vars_f,
             iters=iters)
     t_bf16 = time_fn_marginal(
-        lambda x, v: module_f.apply(v, x, train=False), images, vars_f,
+        lambda x, v: float_forward(v, cf_f, x), images, vars_f,
         iters=iters)
 
     results = {}

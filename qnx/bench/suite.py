@@ -27,9 +27,14 @@ from qnx.utils.config import (CIFAR10_BNN, CIFAR10_TNN, MNIST_BNN, MNIST_TNN)
 
 
 def _baselines(cf, images, iters=None):
-    module, variables = init_model(cf.replace(network_type="float"),
-                                   jax.random.PRNGKey(0))
-    fwd = lambda x, v: module.apply(v, x, train=False)
+    # plain-XLA float forward (qnx.bench.float_baseline): the zoo's float
+    # layers pin true-f32 precision for parity, so the baseline uses a
+    # context-precision twin of the same architecture/params instead
+    from qnx.bench.float_baseline import float_forward
+
+    cf_f = cf.replace(network_type="float")
+    _, variables = init_model(cf_f, jax.random.PRNGKey(0))
+    fwd = lambda x, v: float_forward(v, cf_f, x)
     with jax.default_matmul_precision("highest"):
         t_f32 = time_fn_marginal(fwd, images, variables, iters=iters)
     t_bf16 = time_fn_marginal(fwd, images, variables, iters=iters)

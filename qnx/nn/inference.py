@@ -26,6 +26,7 @@ from flax import struct
 from qnx.kernels.ternary_gemm import ternary_gemm
 from qnx.kernels.xnor_gemm import xnor_gemm_popcount
 from qnx.ops.packing import pack_bits_mxu
+from qnx.ops.quant import REFERENCE_PRECISION
 
 Array = jax.Array
 
@@ -51,7 +52,7 @@ class FloatDenseBits(struct.PyTreeNode):
     bn_eps: float = struct.field(pytree_node=False, default=1e-4)
 
     def __call__(self, x: Array) -> Array:
-        y = x @ self.w
+        y = jnp.matmul(x, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -131,7 +132,7 @@ class FloatDenseLogits(struct.PyTreeNode):
     bn_eps: float = struct.field(pytree_node=False, default=1e-4)
 
     def __call__(self, bits_as_pm1: Array) -> Array:
-        y = bits_as_pm1 @ self.w
+        y = jnp.matmul(bits_as_pm1, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -154,7 +155,8 @@ class FloatConvBits(struct.PyTreeNode):
     def __call__(self, x: Array) -> Array:
         y = jax.lax.conv_general_dilated(
             x, self.w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         if self.pool:
@@ -243,7 +245,7 @@ class FloatDenseLogitsFromBits(struct.PyTreeNode):
         from qnx.ops.packing import unpack_bits
 
         x = unpack_bits(bits, self.k, axis=-1, dtype=jnp.float32)
-        y = x @ self.w
+        y = jnp.matmul(x, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -283,7 +285,8 @@ class FloatConvPlanes(struct.PyTreeNode):
     def __call__(self, x: Array) -> Array:
         y = jax.lax.conv_general_dilated(
             x, self.w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         if self.pool:
@@ -387,7 +390,7 @@ class FloatDenseLogitsFromPlanes(struct.PyTreeNode):
             b = (unpack_bits(planes[j], self.k, axis=-1, dtype=jnp.int32) + 1) // 2
             lvl = b if lvl is None else lvl + (b << j)
         x = lvl.astype(jnp.float32) * self.q
-        y = x @ self.w
+        y = jnp.matmul(x, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from qnx.ops.quant import REFERENCE_PRECISION
+
 Array = jax.Array
 
 
@@ -92,7 +94,8 @@ class I8FirstConv(struct.PyTreeNode):
     def __call__(self, x: Array) -> Array:
         y = jax.lax.conv_general_dilated(
             x, self.w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         if self.pool:
@@ -120,7 +123,7 @@ class I8FirstDense(struct.PyTreeNode):
     nb: int = struct.field(pytree_node=False, default=1)
 
     def __call__(self, x: Array) -> Array:
-        y = x @ self.w
+        y = jnp.matmul(x, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -212,7 +215,7 @@ class I8FloatHead(struct.PyTreeNode):
 
     def __call__(self, x8: Array) -> Array:
         x = x8.astype(jnp.float32) * self.q
-        y = x @ self.w
+        y = jnp.matmul(x, self.w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -244,7 +247,7 @@ class I8WDense(struct.PyTreeNode):
 
     def __call__(self, x: Array) -> Array:
         w = self.w.astype(jnp.float32) * self.alpha
-        y = x @ w
+        y = jnp.matmul(x, w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
@@ -270,7 +273,8 @@ class I8WConv(struct.PyTreeNode):
         w = self.w.astype(jnp.float32) * self.alpha
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         if self.pool:
@@ -294,7 +298,7 @@ class I8WHead(struct.PyTreeNode):
 
     def __call__(self, x: Array) -> Array:
         w = self.w.astype(jnp.float32) * self.alpha
-        y = x @ w
+        y = jnp.matmul(x, w, precision=REFERENCE_PRECISION)
         if self.bias is not None:
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale

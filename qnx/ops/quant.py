@@ -41,6 +41,19 @@ from jax import lax
 
 Array = jax.Array
 
+#: Matmul/conv precision for every float computation that bit-parity is
+#: defined against.  The reference computes in true float32 (TF1-era CPU/GPU
+#: kernels); on TPU, XLA's DEFAULT precision executes nominal-f32 matmuls
+#: and convs with bfloat16 multiplies, which silently changes the effective
+#: weight scale to bf16(H).  sign() activations are scale-invariant so
+#: binary nets still match, but multi-level (abits > 1) integer thresholds
+#: are not: the round-3 full-width TNN parity artifact measured only 63%
+#: argmax agreement between the DEFAULT-precision fake-quant model and the
+#: (exact-integer) engines, while CPU runs matched bit-for-bit.  HIGHEST
+#: (6-pass bf16 = f32-faithful on v5e) restores reference semantics; the
+#: fake-quant layers and the engines' float boundary layers all pin it.
+REFERENCE_PRECISION = lax.Precision.HIGHEST
+
 
 def _sg(x: Array) -> Array:
     return lax.stop_gradient(x)

@@ -84,7 +84,7 @@ class BinaryDense(nn.Module, _QuantKernelMixin):
             wb = Q.binarize_stochastic(kernel, self.make_rng("quant"), h)
         else:
             wb = Q.binarize(kernel, h)
-        y = x @ wb
+        y = jnp.matmul(x, wb, precision=Q.REFERENCE_PRECISION)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -107,7 +107,7 @@ class TernaryDense(nn.Module, _QuantKernelMixin):
         fan_in = x.shape[-1]
         kernel, h = self._latent_kernel((fan_in, self.features), fan_in, self.features)
         wt = Q.ternarize(kernel, h) if self.style == "dingke" else Q.ternarize_twn(kernel)
-        y = x @ wt
+        y = jnp.matmul(x, wt, precision=Q.REFERENCE_PRECISION)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -127,7 +127,7 @@ class QuantizedDense(nn.Module, _QuantKernelMixin):
         fan_in = x.shape[-1]
         kernel, h = self._latent_kernel((fan_in, self.features), fan_in, self.features)
         wq = Q.quantize(kernel, self.nb, h)
-        y = x @ wq
+        y = jnp.matmul(x, wq, precision=Q.REFERENCE_PRECISION)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y
@@ -141,6 +141,7 @@ def _conv(x: Array, kernel: Array, strides, padding) -> Array:
         window_strides=strides,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=Q.REFERENCE_PRECISION,
     )
 
 
@@ -213,7 +214,7 @@ class FloatDense(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.glorot_uniform(), (x.shape[-1], self.features)
         )
-        y = x @ kernel
+        y = jnp.matmul(x, kernel, precision=Q.REFERENCE_PRECISION)
         if self.use_bias:
             y = y + self.param("bias", nn.initializers.zeros, (self.features,))
         return y

@@ -35,8 +35,33 @@ def test_measure_kernels_smoke_tiny():
     names = [r.name for r in rows]
     assert any("xnor conv fused" in n for n in names)
     assert any("ternary conv fused" in n for n in names)
-    assert all(r.t_measured_s > 0 for r in rows)
+    # marginal timing at tiny shapes is jitter-dominated and may even go
+    # negative on CPU; only structure is asserted here
+    assert all(np.isfinite(r.t_measured_s) for r in rows)
     assert all(np.isfinite(r.speed_of_light) for r in rows)
+
+
+def test_float_baseline_matches_flax_model():
+    """The benchmark's plain-XLA baseline forward must compute exactly the
+    flax float model (on CPU precision is f32 everywhere, so any mismatch
+    is an architecture error, not a precision one)."""
+    import jax.numpy as jnp
+
+    from qnx.bench.float_baseline import float_forward
+    from qnx.models.factory import init_model
+    from qnx.utils.config import Config
+
+    for cf in (Config(dataset="digits", architecture="mlp", dim=32,
+                      num_hidden=2, network_type="float"),
+               Config(dataset="CIFAR-10", architecture="vgg", width=8,
+                      dense_units=32, network_type="float",
+                      first_layer_float=True, last_layer_float=True)):
+        module, variables = init_model(cf, jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cf.input_shape),
+                               jnp.float32, -1.0, 1.0)
+        want = np.asarray(module.apply(variables, x, train=False))
+        got = np.asarray(float_forward(variables, cf, x))
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 def test_vgg_layer_macs_match_architecture():
