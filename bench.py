@@ -8,27 +8,36 @@ the reference computes in true float32 (TF-era f32 kernels).  On TPU, XLA's
 MXU (~6x faster than real f32: 94.7 vs 15.8 TMAC/s calibrated on this v5e),
 so the honest float32 baseline is the same model under
 ``jax.default_matmul_precision('highest')``.  ``vs_baseline`` is reported
-against that strict-f32 baseline; the relaxed default-precision (bf16-MXU)
-ratio is also printed and included in the JSON line as
-``vs_bf16_default_baseline`` — physics caps that ratio near the int8/bf16
-MXU throughput ratio (~2x on v5e).
+against that strict-f32 baseline.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
-driver (best engine), plus per-engine detail on stderr.  Timing uses the
-marginal-device-time harness (qnx.bench.microbench): on this hardware
-block_until_ready does not synchronize through the remote relay and a fixed
-~20-30 ms round-trip must be excluded, so each engine is timed as the
-difference between N chained forwards and one forward inside single jits.
+Driver-capture layout (round-4 restructure, VERDICT r3 #1-#2): the default
+run times ONLY the engine of record (int8-MXU) against the strict-f32
+baseline — two compiles total (traced-loop-bound marginal harness, one jit
+per target) — and prints the ONE JSON line
+``{"metric", "value", "unit", "vs_baseline", ...}`` the moment those two
+timings exist, so a capture timeout can no longer lose the headline.
+``python bench.py --full`` additionally times the popcount engine and the
+relaxed default-precision (bf16-MXU) baseline and prints per-engine detail
+on stderr.  All timings are >=5 interleaved repeats; the JSON line carries
+``ms_median`` and ``spread`` so the number is quoted with its run-to-run
+variance (observed ~20% through the remote relay).
+
+Timing uses the marginal-device-time harness (qnx.bench.microbench): on
+this hardware block_until_ready does not synchronize through the remote
+relay and a fixed ~20-30 ms round-trip must be excluded, so each engine is
+timed as the difference between N chained forwards and one forward inside a
+single jit (N is a traced bound, so both share one compile).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
 import jax
 import jax.numpy as jnp
 
-from qnx.bench.microbench import time_fn_marginal
+from qnx.bench.microbench import time_fns_marginal_interleaved
 from qnx.convert.pack_model import pack_int8, pack_vgg
 from qnx.models.factory import init_model
 from qnx.nn.int8_engine import i8_forward
@@ -36,7 +45,17 @@ from qnx.nn.inference import vgg_forward
 from qnx.utils.config import CIFAR10_BNN
 
 
-def main(batch=1024, width=128, iters=32):
+def _report(name, r, batch, ips_f32, file=sys.stderr):
+    t = r["t"]
+    print(f"# {name}: {t*1e3:.2f} ms/batch (median {r['median']*1e3:.2f} ms, "
+          f"spread {r['spread']*100:.0f}%) -> {batch/t:,.0f} img/s"
+          + (f", {batch/t/ips_f32:.2f}x f32" if ips_f32 else ""),
+          file=file)
+
+
+def main(batch=1024, width=128, iters=32, repeats=5, full=False):
+    from qnx.bench.float_baseline import float_forward
+
     cf = CIFAR10_BNN.replace(width=width)
     _, variables = init_model(cf, jax.random.PRNGKey(0))
     variables = jax.device_get(variables)
@@ -44,59 +63,72 @@ def main(batch=1024, width=128, iters=32):
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 3),
                                 jnp.float32, -1.0, 1.0)
 
-    # float32 baselines: same architecture, float weights/activations.
-    # strict = true f32 arithmetic (the reference's); relaxed = XLA default
-    # (bf16 multiplies on the MXU).
-    # Baseline forward is the plain-XLA float twin (qnx.bench.float_baseline):
-    # the model zoo's float layers pin true-f32 precision for bit-parity, so
-    # they no longer measure what a default-precision float model costs.
-    from qnx.bench.float_baseline import float_forward
-
+    # float32 baseline: same architecture, float weights/activations, true
+    # f32 arithmetic (the reference's semantics).  The precision context is
+    # entered INSIDE the traced fn so it binds to this target only.
     cf_f = cf.replace(network_type="float")
     _, vars_f = init_model(cf_f, jax.random.PRNGKey(0))
 
-    with jax.default_matmul_precision("highest"):
-        t_f32 = time_fn_marginal(
-            lambda x, v: float_forward(v, cf_f, x), images, vars_f,
-            iters=iters)
-    t_bf16 = time_fn_marginal(
-        lambda x, v: float_forward(v, cf_f, x), images, vars_f,
-        iters=iters)
+    def f32_strict(x, v):
+        with jax.default_matmul_precision("highest"):
+            return float_forward(v, cf_f, x)
 
-    results = {}
     i8 = pack_int8(variables, cf)
-    results["int8-mxu"] = time_fn_marginal(
-        lambda x, m: i8_forward(m, x), images, i8, iters=iters)
 
-    packed = pack_vgg(variables, cf)
-    results["popcount"] = time_fn_marginal(
-        lambda x, m: vgg_forward(m, x), images, packed, iters=iters)
-
-    ips_f32 = batch / t_f32
-    ips_bf16 = batch / t_bf16
-    for name, t in sorted(results.items(), key=lambda kv: kv[1]):
-        print(f"# {name}: {t*1e3:.2f} ms/batch ({batch/t:,.0f} img/s, "
-              f"{batch/t/ips_f32:.2f}x f32, {batch/t/ips_bf16:.2f}x bf16-default)",
-              file=sys.stderr)
-    print(f"# float32(highest) baseline: {t_f32*1e3:.2f} ms/batch "
-          f"({ips_f32:,.0f} img/s)", file=sys.stderr)
-    print(f"# float-default (bf16-MXU) baseline: {t_bf16*1e3:.2f} ms/batch "
-          f"({ips_bf16:,.0f} img/s)", file=sys.stderr)
-
-    best_name, best_t = min(results.items(), key=lambda kv: kv[1])
-    ips = batch / best_t
+    # ---- headline: engine of record vs strict-f32, interleaved ----------
+    head = time_fns_marginal_interleaved(
+        {
+            "f32-strict": (f32_strict, (images, vars_f)),
+            "int8-mxu": (lambda x, m: i8_forward(m, x), (images, i8)),
+        },
+        iters=iters, repeats=repeats,
+    )
+    t_f32, t_i8 = head["f32-strict"]["t"], head["int8-mxu"]["t"]
+    ips_f32, ips = batch / t_f32, batch / t_i8
+    # The driver-parsed line — printed FIRST, before any optional detail.
     print(json.dumps({
-        "metric": f"images/s/chip CIFAR-10 VGG BNN ({best_name} engine) "
+        "metric": "images/s/chip CIFAR-10 VGG BNN (int8-mxu engine) "
                   "vs float32(HIGHEST) XLA baseline",
         "value": round(ips, 1),
         "unit": "images/s",
         "vs_baseline": round(ips / ips_f32, 3),
-        "vs_bf16_default_baseline": round(ips / ips_bf16, 3),
+        "ms_per_batch": round(t_i8 * 1e3, 3),
+        "ms_median": round(head["int8-mxu"]["median"] * 1e3, 3),
+        "spread": round(head["int8-mxu"]["spread"], 3),
         "baseline_f32_ips": round(ips_f32, 1),
-        "baseline_bf16_ips": round(ips_bf16, 1),
-    }))
+        "baseline_spread": round(head["f32-strict"]["spread"], 3),
+        "repeats": repeats,
+    }), flush=True)
+    _report("int8-mxu", head["int8-mxu"], batch, ips_f32)
+    _report("float32(highest) baseline", head["f32-strict"], batch, None)
+
+    if full:
+        # ---- detail pass: popcount engine + relaxed bf16-MXU baseline ---
+        packed = pack_vgg(variables, cf)
+        detail = time_fns_marginal_interleaved(
+            {
+                "f32-default-bf16mxu": (
+                    lambda x, v: float_forward(v, cf_f, x), (images, vars_f)),
+                "popcount": (
+                    lambda x, m: vgg_forward(m, x), (images, packed)),
+            },
+            iters=iters, repeats=repeats,
+        )
+        for name, r in sorted(detail.items(), key=lambda kv: kv[1]["t"]):
+            _report(name, r, batch, ips_f32)
+        t_bf16 = detail["f32-default-bf16mxu"]["t"]
+        print(f"# int8-mxu vs bf16-default baseline: "
+              f"{t_bf16/t_i8:.2f}x", file=sys.stderr)
     return ips, ips / ips_f32
 
 
 if __name__ == "__main__":
-    main()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--full", action="store_true",
+                   help="also time the popcount engine and bf16-default "
+                        "baseline (extra compiles; slower)")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=32)
+    p.add_argument("--repeats", type=int, default=5)
+    a = p.parse_args()
+    main(batch=a.batch, iters=a.iters, repeats=a.repeats, full=a.full)

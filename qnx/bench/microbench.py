@@ -81,6 +81,79 @@ def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _marginal_loop(fn: Callable):
+    """One jitted program computing ``n`` chained, DCE/reassociation-proof
+    calls of ``fn`` — ``n`` is a *traced* argument (fori_loop lowers to a
+    while loop), so the long and short timings of the marginal harness share
+    a single XLA compile.  On this relay-attached chip each remote compile
+    costs ~30-60 s, so halving the compile count matters more than any
+    timing-loop micro-detail (round-4 driver-capture fix, VERDICT r3 #1)."""
+
+    @jax.jit
+    def loop(n, x, *rest):
+        def body(_, carry):
+            # carry-dependent ROLL of the leading axis — see
+            # time_fn_marginal for why additive perturbations are unsafe.
+            shift = jnp.asarray(carry, jnp.int32) % x.shape[0]
+            out = fn(jnp.roll(x, shift, axis=0), *rest)
+            first = jax.tree.leaves(out)[0]
+            return carry + jnp.sum(jnp.abs(first).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    return loop
+
+
+def time_fns_marginal_interleaved(targets: dict, *, iters: int = 32,
+                                  repeats: int = 5) -> dict:
+    """Marginal per-call device time for several targets, measured
+    INTERLEAVED so relay-latency drift hits every target equally
+    (VERDICT r3 #2: quote spread, not a point estimate).
+
+    ``targets``: ``{name: (fn, args_tuple)}``.  Per target ONE jit is
+    compiled (traced loop bound — long and short runs share it); then
+    ``repeats`` rounds run round-robin over all targets, each round timing
+    the ``iters``-long chain and the 1-long chain back to back.
+
+    Returns ``{name: {"t": s, "median": s, "samples": [s...], "spread": x}}``
+    where ``t`` is the jitter-robust (min-long - min-short)/(iters-1)
+    estimate, ``median``/``samples`` are the per-round paired differences,
+    and ``spread`` = (max-min)/median of the samples."""
+    n_long = jnp.int32(iters)
+    n_short = jnp.int32(1)
+    loops = {}
+    for name, (fn, args) in targets.items():
+        loop = _marginal_loop(fn)
+        _sync(loop(n_long, *args))   # the one compile (covers both bounds)
+        _sync(loop(n_short, *args))
+        loops[name] = (loop, args)
+
+    raw = {name: {"long": [], "short": []} for name in targets}
+    for _ in range(repeats):
+        for name, (loop, args) in loops.items():
+            t0 = time.perf_counter()
+            _sync(loop(n_long, *args))
+            raw[name]["long"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(loop(n_short, *args))
+            raw[name]["short"].append(time.perf_counter() - t0)
+
+    out = {}
+    for name, r in raw.items():
+        samples = sorted(
+            (tl - ts) / (iters - 1) for tl, ts in zip(r["long"], r["short"])
+        )
+        median = samples[len(samples) // 2]
+        est = (min(r["long"]) - min(r["short"])) / (iters - 1)
+        out[name] = {
+            "t": est,
+            "median": median,
+            "samples": samples,
+            "spread": (samples[-1] - samples[0]) / median if median > 0 else 0.0,
+        }
+    return out
+
+
 def time_fn_marginal(fn: Callable, *args, iters: int | None = None,
                      repeats: int = 3, target_s: float = 0.15) -> float:
     """Marginal per-call device time of fn(input, *rest), excluding relay

@@ -145,8 +145,16 @@ def build_model(cf: Config) -> nn.Module:
 
 
 def init_model(cf: Config, rng: jax.Array):
-    """Initialize params/state for a config; returns (module, variables)."""
+    """Initialize params/state for a config; returns (module, variables).
+
+    ``module.init`` is run under ``jax.jit`` so initialization is ONE
+    compiled program instead of hundreds of eager op dispatches — on the
+    relay-attached TPU each eager dispatch costs a remote round-trip, and
+    un-jitted init of the full-width VGG was measured at ~7 MINUTES vs ~15 s
+    jitted (round-4 bench-capture fix, VERDICT r3 #1)."""
     module = build_model(cf)
     dummy = jnp.zeros((1, *cf.input_shape), jnp.float32)
-    variables = module.init(rng, dummy, train=False)
+    variables = jax.jit(
+        lambda r: module.init(r, dummy, train=False)
+    )(rng)
     return module, variables

@@ -64,6 +64,46 @@ def test_float_baseline_matches_flax_model():
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_interleaved_marginal_timer_structure():
+    """time_fns_marginal_interleaved (the round-4 headline harness): one
+    compile per target, interleaved repeats, min/median/spread fields."""
+    import jax.numpy as jnp
+
+    from qnx.bench.microbench import time_fns_marginal_interleaved
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 64))
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 64))
+    out = time_fns_marginal_interleaved(
+        {"a": (lambda x, w: jnp.tanh(x @ w), (x, w)),
+         "b": (lambda x, w: jnp.abs(x @ w), (x, w))},
+        iters=8, repeats=3)
+    for name in ("a", "b"):
+        r = out[name]
+        assert set(r) == {"t", "median", "samples", "spread"}
+        assert len(r["samples"]) == 3
+        assert r["samples"] == sorted(r["samples"])
+        assert np.isfinite(r["t"]) and np.isfinite(r["median"])
+
+
+def test_bench_main_prints_headline_json(capsys):
+    """bench.py default mode: exactly one JSON line on stdout with the
+    driver-contract fields, printed even without --full detail."""
+    import json
+
+    import bench
+
+    ips, ratio = bench.main(batch=8, width=16, iters=4, repeats=2)
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    for field in ("metric", "value", "unit", "vs_baseline", "ms_median",
+                  "spread", "baseline_f32_ips", "repeats"):
+        assert field in rec
+    assert rec["unit"] == "images/s"
+    # CPU timings are jitter-dominated; only structural sanity is asserted
+    assert np.isfinite(rec["value"])
+
+
 def test_vgg_layer_macs_match_architecture():
     total = sum(h * w * 9 * cin * cout
                 for (h, w, cin, cout) in vgg_layers(128))
