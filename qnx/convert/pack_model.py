@@ -79,6 +79,93 @@ def _bn(params: dict, stats: dict, name: str, eps: float):
     )
 
 
+def _require_engine_activation(cf: Config) -> None:
+    """Real-bit engine lowering supports the activations the reference's
+    network_type table derives (relu / binary_tanh / quantized_relu) — their
+    BN folding is the sign/level-threshold pass in qnx.transforms.bn_fold.
+    The Config.activation override additionally enables quantized_tanh and
+    binary_sigmoid for FAKE-QUANT training (reference quantized_ops.py
+    surface), but those have no engine lowering: binary_sigmoid's {0,1}
+    coding breaks the ±1 XNOR-popcount identity, and quantized_tanh's
+    symmetric levels are not expressible as the engines' unsigned level
+    thresholds.  Documented in docs/PARITY.md 'Activation coverage'."""
+    if cf.activation is None:
+        return
+    derived = cf.replace(activation=None).activation_name()
+    equivalent = {"relu": ("relu",), "binary": ("binary_tanh",),
+                  "quant": ("quantized_relu",)}[derived]
+    if cf.activation not in equivalent:
+        raise ValueError(
+            f"activation override {cf.activation!r} trains fake-quant but "
+            f"has no real-bit engine lowering (supported here: "
+            f"{equivalent} or activation=None); evaluate it with the "
+            "fake-quant forward instead — see docs/PARITY.md")
+
+
+def validate_vgg_variables(variables: dict, cf: Config) -> None:
+    """Up-front structural validation of a VGG variables pytree against the
+    6-conv/2-dense/head template every VGG packing path assumes
+    (VERDICT r3 #6): missing layers, broken channel chaining, or a flatten
+    width inconsistent with the pool schedule fail HERE with an actionable
+    message instead of as an opaque shape error deep inside bit-packing.
+
+    Reference counterpart: the Keras model's fixed build_model topology
+    (``[K] models/model_factory.py``, SURVEY.md §3.3) — any ingested HDF5
+    that does not match it could never have been produced by the reference
+    either."""
+    params = variables.get("params", {})
+    expected = ([f"conv_{i}" for i in range(6)]
+                + [f"bn_conv_{i}" for i in range(6)]
+                + ["dense_0", "dense_1", "bn_dense_0", "bn_dense_1",
+                   "dense_out", "bn_out"])
+    missing = [n for n in expected if n not in params]
+    if missing:
+        raise ValueError(
+            f"VGG variables missing layers {missing}; present: "
+            f"{sorted(params)} — expected the 6-conv/2-dense template "
+            "(conv_0..5 + bn_conv_0..5, dense_0..1 + bn_dense_0..1, "
+            "dense_out + bn_out)")
+
+    def shape(name):
+        return tuple(np.shape(params[name]["kernel"]))
+
+    cin = cf.input_shape[-1]
+    for i in range(6):
+        s = shape(f"conv_{i}")
+        if len(s) != 4:
+            raise ValueError(f"conv_{i}: kernel must be (kh, kw, cin, cout), "
+                             f"got {s}")
+        if s[2] != cin:
+            raise ValueError(
+                f"conv_{i}: input channels {s[2]} do not chain from the "
+                f"previous layer's {cin} output channels")
+        cin = s[3]
+        bns = np.shape(params[f"bn_conv_{i}"]["scale"])
+        if bns != (cin,):
+            raise ValueError(f"bn_conv_{i}: scale shape {bns} != ({cin},)")
+
+    hin, win, _ = cf.input_shape
+    fh, fw = hin // 8, win // 8  # three 2x2 pools (after conv_1/3/5)
+    flat = fh * fw * cin
+    s = shape("dense_0")
+    if s != (flat, s[1]):
+        raise ValueError(
+            f"dense_0: kernel {s} does not consume the flattened conv "
+            f"output ({fh}x{fw}x{cin} = {flat} after three 2x2 pools of the "
+            f"{hin}x{win} input)")
+    k = s[1]
+    for name in ("dense_1", "dense_out"):
+        s = shape(name)
+        if s[0] != k:
+            raise ValueError(
+                f"{name}: input width {s[0]} does not chain from the "
+                f"previous layer's {k} units")
+        k = s[1]
+    if k != cf.classes:
+        raise ValueError(
+            f"dense_out: {k} output units != cf.classes = {cf.classes}")
+
+
 def pack_mlp(variables: dict, cf: Config) -> I.PackedMLP:
     """Lower a trained QuantMLP (full-bnn / full-tnn, abits=1) into a
     :class:`qnx.nn.inference.PackedMLP`."""
@@ -89,6 +176,7 @@ def pack_mlp(variables: dict, cf: Config) -> I.PackedMLP:
             "packed MLP path requires binary activations "
             f"(network_type full-bnn/full-tnn, abits=1); got {cf.network_type}"
         )
+    _require_engine_activation(cf)
     ternary = cf.network_type == "full-tnn"
     params = variables["params"]
     quant = variables["quant"]
@@ -182,6 +270,8 @@ def pack_vgg_bitplane(variables: dict, cf: Config) -> I.PlaneVGG:
             "bitplane VGG path requires abits >= 2 with ternary/binary "
             f"weights; got {cf.network_type}/abits={cf.abits}"
         )
+    _require_engine_activation(cf)
+    validate_vgg_variables(variables, cf)
     ternary = cf.network_type == "full-tnn"
     params = variables["params"]
     quant = variables.get("quant", {})
@@ -319,6 +409,9 @@ def pack_int8(variables: dict, cf: Config):
         raise ValueError(
             f"int8 engine holds pow2-grid weights as int8 integers, which "
             f"requires wbits <= 8; got wbits={cf.wbits}")
+    _require_engine_activation(cf)
+    if cf.architecture == "vgg":
+        validate_vgg_variables(variables, cf)
     params = variables["params"]
     quant = variables.get("quant", {})
     stats = variables["batch_stats"]
@@ -509,6 +602,8 @@ def pack_vgg(variables: dict, cf: Config) -> I.PackedVGG:
             "packed VGG path requires binary activations (abits=1); "
             f"got {cf.network_type}/abits={cf.abits}"
         )
+    _require_engine_activation(cf)
+    validate_vgg_variables(variables, cf)
     ternary = cf.network_type == "full-tnn"
     params = variables["params"]
     quant = variables.get("quant", {})

@@ -103,10 +103,14 @@ def synthetic(shape=(28, 28, 1), classes: int = 10, n_train: int = 6000,
 
 
 def load_dataset(name: str) -> DatasetBundle:
-    """MNIST | CIFAR-10 | digits | synthetic-mnist | synthetic-cifar.
+    """MNIST | CIFAR-10 | SVHN | digits | synthetic-mnist | synthetic-cifar.
 
-    Real datasets fall back to synthetic twins when offline (meta['source']
-    says which you got — bench reports must quote it)."""
+    MNIST/CIFAR-10 resolution order (VERDICT r3 #5 — a file drop must work
+    without any network): local files under ``$QNX_DATA_DIR`` or
+    ``~/.keras/datasets`` (MNIST: ``mnist.npz`` or the four idx[.gz] files;
+    CIFAR-10: ``cifar-10-batches-py/`` pickles or ``cifar10.npz``), then the
+    keras downloader, then the synthetic twin (meta['source'] says which you
+    got — bench reports must quote it)."""
     if name == "digits":
         return _digits()
     if name == "synthetic-mnist":
@@ -121,7 +125,7 @@ def load_dataset(name: str) -> DatasetBundle:
         ds.meta.update({"fallback_for": "SVHN"})
         return ds
     if name in ("MNIST", "CIFAR-10"):
-        real = _try_keras(name)
+        real = _try_local(name) or _try_keras(name)
         if real is not None:
             return real
         shape = (28, 28, 1) if name == "MNIST" else (32, 32, 3)
@@ -129,6 +133,104 @@ def load_dataset(name: str) -> DatasetBundle:
         ds.meta.update({"fallback_for": name})
         return ds
     raise ValueError(f"unknown dataset {name!r}")
+
+
+# ---------------------------------------------------------------------------
+# local-file ingestion (no network, no keras cache machinery)
+# ---------------------------------------------------------------------------
+
+def _data_dirs():
+    import os
+
+    for base in (os.environ.get("QNX_DATA_DIR"),
+                 os.path.expanduser("~/.keras/datasets")):
+        if base:
+            yield base
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """MNIST idx format (the files on yann.lecun.com, optionally .gz):
+    magic 0x0000 08 <ndim>, then ndim big-endian u32 dims, then u8 data."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+    zero, dtype, ndim = raw[0] << 8 | raw[1], raw[2], raw[3]
+    if zero != 0 or dtype != 0x08:
+        raise ValueError(f"{path}: not a u8 idx file (magic {raw[:4]!r})")
+    dims = [int.from_bytes(raw[4 + 4 * i:8 + 4 * i], "big")
+            for i in range(ndim)]
+    data = np.frombuffer(raw, np.uint8, offset=4 + 4 * ndim)
+    return data.reshape(dims)
+
+
+def _find(base: str, *names: str) -> str | None:
+    import os
+
+    for n in names:
+        p = os.path.join(base, n)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def _try_local(name: str) -> DatasetBundle | None:
+    import os
+    import pickle
+
+    for base in _data_dirs():
+        if not os.path.isdir(base):
+            continue
+        if name == "MNIST":
+            npz = _find(base, "mnist.npz")
+            if npz:
+                with np.load(npz) as z:
+                    xt, yt, xv, yv = (z["x_train"], z["y_train"],
+                                      z["x_test"], z["y_test"])
+                return DatasetBundle(
+                    _scale_pm1(xt[..., None]), yt.astype(np.int32),
+                    _scale_pm1(xv[..., None]), yv.astype(np.int32),
+                    {"source": "local-npz", "name": "MNIST", "path": npz})
+            files = [_find(base, f"{s}-{k}-idx{d}-ubyte",
+                           f"{s}-{k}-idx{d}-ubyte.gz")
+                     for s, k, d in (("train", "images", 3),
+                                     ("train", "labels", 1),
+                                     ("t10k", "images", 3),
+                                     ("t10k", "labels", 1))]
+            if all(files):
+                xt, yt, xv, yv = (_read_idx(f) for f in files)
+                return DatasetBundle(
+                    _scale_pm1(xt[..., None]), yt.astype(np.int32),
+                    _scale_pm1(xv[..., None]), yv.astype(np.int32),
+                    {"source": "local-idx", "name": "MNIST", "path": base})
+        if name == "CIFAR-10":
+            bdir = os.path.join(base, "cifar-10-batches-py")
+            if os.path.isdir(bdir):
+                def rd(fname):
+                    with open(os.path.join(bdir, fname), "rb") as f:
+                        d = pickle.load(f, encoding="bytes")
+                    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+                    return x, np.asarray(d[b"labels"], np.int32)
+
+                parts = [rd(f"data_batch_{i}") for i in range(1, 6)]
+                xt = np.concatenate([p[0] for p in parts])
+                yt = np.concatenate([p[1] for p in parts])
+                xv, yv = rd("test_batch")
+                return DatasetBundle(
+                    _scale_pm1(xt), yt, _scale_pm1(xv), yv,
+                    {"source": "local-batches", "name": "CIFAR-10",
+                     "path": bdir})
+            npz = _find(base, "cifar10.npz")
+            if npz:
+                with np.load(npz) as z:
+                    xt, yt, xv, yv = (z["x_train"], z["y_train"],
+                                      z["x_test"], z["y_test"])
+                return DatasetBundle(
+                    _scale_pm1(xt), yt.ravel().astype(np.int32),
+                    _scale_pm1(xv), yv.ravel().astype(np.int32),
+                    {"source": "local-npz", "name": "CIFAR-10", "path": npz})
+    return None
 
 
 def _try_svhn():

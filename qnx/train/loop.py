@@ -204,33 +204,94 @@ def _train_epoch(state: TrainState, x: Array, y: Array, rng: Array,
     return state, last
 
 
-def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None):
+def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
+        ckpt_dir: str | None = None, resume: bool = False,
+        stop_after: int | None = None, drop_remainder: bool = False):
     """model.fit equivalent: train cf.epochs over (x_train, y_train) and
     report test accuracy per epoch. ``data`` = ((x_train, y_train),
     (x_test, y_test)) as numpy/jnp arrays, images already in [-1, 1].
 
     Data is staged to the device once; each epoch runs as a single jitted
-    shuffle+scan program (no per-step host round-trips)."""
+    shuffle+scan program (no per-step host round-trips).  Like Keras
+    ``fit``, the final partial batch of each epoch IS trained on (one extra
+    ``train_step`` at the remainder shape, BN statistics over the partial
+    batch — the reference's semantics); pass ``drop_remainder=True`` for
+    the previous whole-batches-only behavior (VERDICT r3 #8).
+
+    Checkpoint/resume (VERDICT r3 #4): with ``ckpt_dir`` set, the full
+    train state is checkpointed after every epoch; ``resume=True`` restores
+    it (variables + Adam moments + step + completed-epoch count) and
+    replays the per-epoch RNG splits, so an interrupted-and-resumed run is
+    bit-identical to an uninterrupted one.  ``stop_after=k`` stops after k
+    total completed epochs (interruption hook for tests/ops).
+
+    Custom ``rng`` note: resume replays splits from the SAME rng passed
+    here, so pass the identical value in both runs (default derives from
+    ``cf.seed``)."""
+    import os
+
+    from qnx.train.checkpoint import restore_train_state, save_train_state
+
     (x_train, y_train), (x_test, y_test) = data
     n = x_train.shape[0]
-    steps_per_epoch = max(n // cf.batch_size, 1)
+    steps_per_epoch = n // cf.batch_size
+    rem = n - steps_per_epoch * cf.batch_size
+    if drop_remainder and steps_per_epoch > 0:
+        rem = 0
+    # optimizer steps per epoch (drives the per-epoch LR decay schedule)
+    opt_steps = max(steps_per_epoch + (1 if rem else 0), 1)
     rng = jax.random.PRNGKey(cf.seed) if rng is None else rng
-    state = create_train_state(cf, rng, steps_per_epoch)
+
+    ckpt_path = os.path.join(os.path.abspath(ckpt_dir), "train_state") \
+        if ckpt_dir else None
+    start_epoch = 0
+    if resume:
+        if not (ckpt_path and os.path.isdir(ckpt_path)):
+            raise FileNotFoundError(
+                f"resume requested but no checkpoint at {ckpt_path}")
+        state, cf_saved, start_epoch = restore_train_state(ckpt_path, opt_steps)
+        # epochs may differ: extending an interrupted/finished run is the
+        # normal resume flow (the LR schedule re-derives from the new total,
+        # exactly as re-running Keras fit with more epochs would)
+        if cf_saved.replace(epochs=cf.epochs) != cf:
+            raise ValueError(
+                "checkpoint config differs from the requested config:\n"
+                f"  saved:     {cf_saved}\n  requested: {cf}")
+    else:
+        state = create_train_state(cf, rng, opt_steps)
+    for _ in range(start_epoch):  # replay the consumed per-epoch splits
+        rng, _ = jax.random.split(rng)
+
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train)
     x_test = jnp.asarray(x_test)
     y_test = jnp.asarray(y_test)
     history = []
-    for epoch in range(cf.epochs):
+    for epoch in range(start_epoch, cf.epochs):
         rng, shuf = jax.random.split(rng)
-        state, metrics = _train_epoch(state, x_train, y_train, shuf,
-                                      cf.batch_size, steps_per_epoch)
+        if steps_per_epoch > 0:
+            state, metrics = _train_epoch(state, x_train, y_train, shuf,
+                                          cf.batch_size, steps_per_epoch)
+        else:
+            metrics = None
+        if rem:
+            # same permutation _train_epoch derived from ``shuf``; the tail
+            # indices are the ones its scan never consumed
+            perm = jax.random.permutation(shuf, n)
+            idx = perm[steps_per_epoch * cf.batch_size:]
+            state, metrics = train_step(
+                state, x_train[idx], y_train[idx],
+                jax.random.fold_in(shuf, steps_per_epoch))
         test = evaluate(state, x_test, y_test, cf.batch_size)
         history.append({"epoch": epoch, "train": jax.device_get(metrics),
                         "test": test})
         if log_every and (epoch % log_every == 0 or epoch == cf.epochs - 1):
             print(f"epoch {epoch}: train_loss={float(metrics['loss']):.4f} "
                   f"test_acc={test['accuracy']:.4f}", flush=True)
+        if ckpt_path:
+            save_train_state(ckpt_path, state, cf, epoch + 1)
+        if stop_after is not None and epoch + 1 >= stop_after:
+            break
     return state, history
 
 

@@ -48,6 +48,14 @@ class Config:
     batch_norm_epsilon: float = 1e-4
     dropout_rate: float = 0.0
     H: str | float = "Glorot"
+    # activation override (VERDICT r3 #7): None derives the activation from
+    # network_type/abits (table above); an explicit op name — binary_tanh |
+    # binary_sigmoid | quantized_relu | quantized_tanh | relu — selects that
+    # op from qnx.ops.quant for every hidden layer (reference
+    # quantized_ops.py surface).  Fake-quant training supports all of them;
+    # the real-bit inference engines lower only the derived ones (see
+    # docs/PARITY.md "Activation coverage").
+    activation: str | None = None
     stochastic: bool = False  # stochastic binarization (BinaryConnect)
     ternary_style: str = "dingke"  # dingke | twn
     # training
@@ -84,6 +92,8 @@ class Config:
         return "quant"  # qnn / full-qnn -> wbits
 
     def activation_name(self) -> str:
+        if self.activation is not None:
+            return self.activation
         t = self.network_type
         if t in ("float", "qnn", "bnn", "tnn"):
             return "relu"

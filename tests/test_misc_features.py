@@ -98,13 +98,138 @@ class TestSvhn:
         assert set(np.unique(ds.y_test)) <= set(range(10))  # label 10 -> 0
 
 
+class TestLocalFileIngestion:
+    """MNIST/CIFAR-10 file-drop paths (VERDICT r3 #5): tiny synthetic files
+    in the exact on-disk formats, loaded via $QNX_DATA_DIR without any
+    network or keras cache machinery."""
+
+    def _assert_pm1(self, ds):
+        assert ds.x_train.dtype == np.float32
+        assert ds.x_train.min() >= -1 and ds.x_train.max() <= 1
+
+    def test_mnist_idx_files(self, tmp_path, monkeypatch):
+        import gzip
+        import struct
+
+        rng = np.random.default_rng(0)
+
+        def write_idx(path, arr, gz=False):
+            header = struct.pack(">BBBB", 0, 0, 8, arr.ndim) + b"".join(
+                struct.pack(">I", d) for d in arr.shape)
+            data = header + arr.astype(np.uint8).tobytes()
+            (gzip.open if gz else open)(path, "wb").write(data)
+
+        write_idx(tmp_path / "train-images-idx3-ubyte",
+                  rng.integers(0, 256, (20, 28, 28)))
+        write_idx(tmp_path / "train-labels-idx1-ubyte",
+                  rng.integers(0, 10, (20,)))
+        # mixed plain/.gz to cover both openers
+        write_idx(tmp_path / "t10k-images-idx3-ubyte.gz",
+                  rng.integers(0, 256, (8, 28, 28)), gz=True)
+        write_idx(tmp_path / "t10k-labels-idx1-ubyte.gz",
+                  rng.integers(0, 10, (8,)), gz=True)
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("MNIST")
+        assert ds.meta["source"] == "local-idx"
+        assert ds.x_train.shape == (20, 28, 28, 1)
+        assert ds.x_test.shape == (8, 28, 28, 1)
+        self._assert_pm1(ds)
+
+    def test_mnist_npz(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(1)
+        np.savez(tmp_path / "mnist.npz",
+                 x_train=rng.integers(0, 256, (10, 28, 28), dtype=np.uint8),
+                 y_train=rng.integers(0, 10, 10, dtype=np.uint8),
+                 x_test=rng.integers(0, 256, (4, 28, 28), dtype=np.uint8),
+                 y_test=rng.integers(0, 10, 4, dtype=np.uint8))
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("MNIST")
+        assert ds.meta["source"] == "local-npz"
+        assert ds.x_train.shape == (10, 28, 28, 1)
+        assert ds.y_test.dtype == np.int32
+        self._assert_pm1(ds)
+
+    def test_cifar10_pickle_batches(self, tmp_path, monkeypatch):
+        import pickle
+
+        rng = np.random.default_rng(2)
+        bdir = tmp_path / "cifar-10-batches-py"
+        bdir.mkdir()
+
+        def write_batch(name, n):
+            with open(bdir / name, "wb") as f:
+                pickle.dump({
+                    b"data": rng.integers(0, 256, (n, 3072), dtype=np.uint8),
+                    b"labels": rng.integers(0, 10, n).tolist(),
+                }, f)
+
+        for i in range(1, 6):
+            write_batch(f"data_batch_{i}", 6)
+        write_batch("test_batch", 5)
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("CIFAR-10")
+        assert ds.meta["source"] == "local-batches"
+        assert ds.x_train.shape == (30, 32, 32, 3)
+        assert ds.x_test.shape == (5, 32, 32, 3)
+        assert ds.y_train.dtype == np.int32
+        self._assert_pm1(ds)
+
+    def test_cifar10_pickle_channel_order(self, tmp_path, monkeypatch):
+        """CIFAR batches store row-major (3, 32, 32) per image; the loader
+        must emit NHWC with channels last."""
+        import pickle
+
+        bdir = tmp_path / "cifar-10-batches-py"
+        bdir.mkdir()
+        img = np.zeros((3, 32, 32), np.uint8)
+        img[0] = 255  # pure red
+        with open(bdir / "data_batch_1", "wb") as f:
+            pickle.dump({b"data": img.reshape(1, 3072), b"labels": [3]}, f)
+        for i in range(2, 6):
+            with open(bdir / f"data_batch_{i}", "wb") as f:
+                pickle.dump({b"data": np.zeros((1, 3072), np.uint8),
+                             b"labels": [0]}, f)
+        with open(bdir / "test_batch", "wb") as f:
+            pickle.dump({b"data": np.zeros((1, 3072), np.uint8),
+                         b"labels": [0]}, f)
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("CIFAR-10")
+        np.testing.assert_array_equal(ds.x_train[0, :, :, 0], 1.0)   # R
+        np.testing.assert_array_equal(ds.x_train[0, :, :, 1], -1.0)  # G
+        assert ds.y_train[0] == 3
+
+    def test_cifar10_npz(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(3)
+        np.savez(tmp_path / "cifar10.npz",
+                 x_train=rng.integers(0, 256, (6, 32, 32, 3), dtype=np.uint8),
+                 y_train=rng.integers(0, 10, (6, 1), dtype=np.uint8),
+                 x_test=rng.integers(0, 256, (3, 32, 32, 3), dtype=np.uint8),
+                 y_test=rng.integers(0, 10, (3, 1), dtype=np.uint8))
+        monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+        ds = load_dataset("CIFAR-10")
+        assert ds.meta["source"] == "local-npz"
+        assert ds.x_train.shape == (6, 32, 32, 3)
+        assert ds.y_train.shape == (6,)  # (N,1) keras-style labels raveled
+        self._assert_pm1(ds)
+
+    def test_bad_idx_magic_rejected(self, tmp_path):
+        from qnx.data.datasets import _read_idx
+
+        p = tmp_path / "bogus"
+        p.write_bytes(b"\x00\x00\x09\x01" + b"\x00" * 8)
+        with pytest.raises(ValueError, match="idx"):
+            _read_idx(str(p))
+
+
 class TestDeviceResidentFit:
     def test_fit_learns(self):
         ds = load_dataset("digits")
         cf = TINY.replace(epochs=4, lr_start=5e-3, lr_end=1e-3)
         state, history = fit(cf, ds.as_tuples())
         assert history[-1]["test"]["accuracy"] > 0.5
-        assert int(state.step) == 4 * (ds.x_train.shape[0] // cf.batch_size)
+        n = ds.x_train.shape[0]
+        steps = n // cf.batch_size + (1 if n % cf.batch_size else 0)
+        assert int(state.step) == 4 * steps  # tail batch trained (Keras fit)
 
 
 def test_svhn_preset_config():

@@ -111,3 +111,51 @@ class TestPaddingCorrection:
         corr = padding_correction(np.asarray(wt), h, w)
         out = xnor_conv(pack_bits(x, -1), jnp.asarray(wp), k, jnp.asarray(corr))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(gold))
+
+
+class TestVggTopologyValidation:
+    """Mismatched variables fail at entry with actionable messages, not as
+    shape errors deep inside packing (VERDICT r3 #6)."""
+
+    def _variables(self):
+        from qnx.models.factory import init_model
+
+        _, variables = init_model(CF, jax.random.PRNGKey(0))
+        return jax.device_get(variables)
+
+    def test_missing_layer(self):
+        v = self._variables()
+        del v["params"]["conv_3"]
+        with pytest.raises(ValueError, match=r"missing layers \['conv_3'\]"):
+            pack_vgg(v, CF)
+
+    def test_broken_channel_chaining(self):
+        v = self._variables()
+        k = np.asarray(v["params"]["conv_2"]["kernel"])
+        v["params"]["conv_2"]["kernel"] = k[:, :, :-1, :]  # cin 16 -> 15
+        with pytest.raises(ValueError, match="conv_2.*do not chain"):
+            pack_vgg(v, CF)
+
+    def test_flatten_width_mismatch(self):
+        v = self._variables()
+        k = np.asarray(v["params"]["dense_0"]["kernel"])
+        v["params"]["dense_0"]["kernel"] = np.concatenate([k, k[:8]], axis=0)
+        with pytest.raises(ValueError, match="dense_0.*flatten"):
+            pack_vgg(v, CF)
+
+    def test_wrong_class_count(self):
+        v = self._variables()
+        k = np.asarray(v["params"]["dense_out"]["kernel"])
+        v["params"]["dense_out"]["kernel"] = k[:, :-1]
+        with pytest.raises(ValueError, match="dense_out.*classes"):
+            pack_vgg(v, CF)
+
+    def test_int8_and_bitplane_paths_validate_too(self):
+        from qnx.convert.pack_model import pack_int8, pack_vgg_bitplane
+
+        v = self._variables()
+        del v["params"]["bn_dense_1"]
+        with pytest.raises(ValueError, match="missing layers"):
+            pack_int8(v, CF)
+        with pytest.raises(ValueError, match="missing layers"):
+            pack_vgg_bitplane(v, CF.replace(network_type="full-tnn", abits=2))
