@@ -38,24 +38,30 @@ def initialize_distributed(coordinator_address: str | None = None,
     return jax.process_index()
 
 
+def default_model_parallel(n: int) -> int:
+    """Default TP degree for an n-device mesh: the largest power of two
+    <= sqrt(n) that divides n.  Keeps the model axis the smaller one (TP
+    collectives are latency-bound; DP scales embarrassingly):
+    1->1, 2->1, 4->2, 8->2, 16->4, 32->4."""
+    mp = 1
+    while mp * 2 <= math.isqrt(n) and n % (mp * 2) == 0:
+        mp *= 2
+    return mp
+
+
 def make_mesh(n_devices: int | None = None, model_parallel: int | None = None,
               devices=None) -> Mesh:
     """Build a (data, model) mesh over ``n_devices``.
 
-    ``model_parallel`` fixes the TP degree; default picks the largest power
-    of two ≤ sqrt(n) so both axes are nontrivial when possible."""
+    ``model_parallel`` fixes the TP degree; default is
+    :func:`default_model_parallel`."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
     if model_parallel is None:
-        model_parallel = 1
-        while model_parallel * 2 <= math.isqrt(n) * 2 and n % (model_parallel * 2) == 0 \
-                and model_parallel * 2 <= n:
-            if model_parallel * 2 > math.isqrt(n):
-                break
-            model_parallel *= 2
+        model_parallel = default_model_parallel(n)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model={model_parallel}")
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
