@@ -174,7 +174,7 @@ def _cmd_bench(argv):
     else:
         import bench  # repo-root headline bench
 
-        bench.main()
+        bench.main(full="--full" in argv)
     return 0
 
 
