@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="weight scale H: float or 'Glorot'")
     p.add_argument("--out", default="runs/latest",
                    help="output dir (checkpoint + metrics)")
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="checkpoint the train state every N epochs "
+                        "(always after the final epoch)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --out's per-epoch train-state "
                         "checkpoint (exact: restores Adam moments + step "
@@ -92,7 +95,8 @@ def main(argv=None):
 
         t0 = time.time()
         state, history = fit(cf, ds.as_tuples(), log_every=args.log_every,
-                             ckpt_dir=args.out, resume=args.resume)
+                             ckpt_dir=args.out, resume=args.resume,
+                             ckpt_every=args.ckpt_every)
         elapsed = time.time() - t0
         final = history[-1]["test"]
         print(f"done in {elapsed:.1f}s: test accuracy {final['accuracy']:.4f}")

@@ -206,7 +206,8 @@ def _train_epoch(state: TrainState, x: Array, y: Array, rng: Array,
 
 def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
         ckpt_dir: str | None = None, resume: bool = False,
-        stop_after: int | None = None, drop_remainder: bool = False):
+        ckpt_every: int = 1, stop_after: int | None = None,
+        drop_remainder: bool = False):
     """model.fit equivalent: train cf.epochs over (x_train, y_train) and
     report test accuracy per epoch. ``data`` = ((x_train, y_train),
     (x_test, y_test)) as numpy/jnp arrays, images already in [-1, 1].
@@ -219,7 +220,10 @@ def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
     the previous whole-batches-only behavior (VERDICT r3 #8).
 
     Checkpoint/resume (VERDICT r3 #4): with ``ckpt_dir`` set, the full
-    train state is checkpointed after every epoch; ``resume=True`` restores
+    train state is checkpointed every ``ckpt_every`` epochs (default every
+    epoch — Keras ``ModelCheckpoint`` semantics; each save costs a
+    device_get + orbax write, so raise it for long device-resident runs)
+    and always after the final epoch; ``resume=True`` restores
     it (variables + Adam moments + step + completed-epoch count) and
     replays the per-epoch RNG splits, so an interrupted-and-resumed run is
     bit-identical to an uninterrupted one.  ``stop_after=k`` stops after k
@@ -288,9 +292,11 @@ def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
         if log_every and (epoch % log_every == 0 or epoch == cf.epochs - 1):
             print(f"epoch {epoch}: train_loss={float(metrics['loss']):.4f} "
                   f"test_acc={test['accuracy']:.4f}", flush=True)
-        if ckpt_path:
+        stopping = (stop_after is not None and epoch + 1 >= stop_after)
+        if ckpt_path and ((epoch + 1) % max(ckpt_every, 1) == 0
+                          or epoch + 1 == cf.epochs or stopping):
             save_train_state(ckpt_path, state, cf, epoch + 1)
-        if stop_after is not None and epoch + 1 >= stop_after:
+        if stopping:
             break
     return state, history
 

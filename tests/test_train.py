@@ -192,6 +192,22 @@ def test_resume_can_extend_epochs(tmp_path):
     assert int(state.step) == 4 * 2  # 2 steps/epoch x 4 epochs total
 
 
+def test_ckpt_every_skips_and_always_saves_last(tmp_path):
+    import json
+    import os
+
+    ds = synthetic((8, 8, 1), n_train=64, n_test=16)
+    cf3 = TINY_MLP.replace(dataset="digits", epochs=3, batch_size=32)
+    d = str(tmp_path / "ckpt")
+    fit(cf3, ds.as_tuples(), ckpt_dir=d, ckpt_every=2)
+    with open(os.path.join(d, "train_state.config.json")) as f:
+        assert json.load(f)["epochs_done"] == 3  # final epoch always saved
+    # resume from the final save works
+    state, hist = fit(cf3.replace(epochs=4), ds.as_tuples(), ckpt_dir=d,
+                      resume=True, ckpt_every=2)
+    assert [h["epoch"] for h in hist] == [3]
+
+
 def test_resume_rejects_config_mismatch(tmp_path):
     ds = synthetic((8, 8, 1), n_train=64, n_test=16)
     cf = TINY_MLP.replace(dataset="digits", epochs=2, batch_size=32)
