@@ -43,8 +43,11 @@ def test_measure_kernels_smoke_tiny():
 
 def test_float_baseline_matches_flax_model():
     """The benchmark's plain-XLA baseline forward must compute exactly the
-    flax float model (on CPU precision is f32 everywhere, so any mismatch
-    is an architecture error, not a precision one)."""
+    flax float model.  The flax model pins true-f32 precision internally
+    while float_forward inherits the caller's context (that inheritance is
+    its entire reason to exist — bench.py sets the context per target), so
+    the comparison runs under default_matmul_precision('highest'); without
+    it, this fails on TPU where the default is bf16 MXU passes."""
     import jax.numpy as jnp
 
     from qnx.bench.float_baseline import float_forward
@@ -60,7 +63,9 @@ def test_float_baseline_matches_flax_model():
         x = jax.random.uniform(jax.random.PRNGKey(1), (4, *cf.input_shape),
                                jnp.float32, -1.0, 1.0)
         want = np.asarray(module.apply(variables, x, train=False))
-        got = np.asarray(float_forward(variables, cf, x))
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(jax.jit(
+                lambda v, xx: float_forward(v, cf, xx))(variables, x))
         np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 

@@ -55,3 +55,20 @@ def test_convert_and_serve(run_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert '"images": 64' in out
+
+
+def test_train_argparser_plumbs_round4_flags():
+    """--activation / --resume / --ckpt-every reach the Config / fit call
+    (pure arg plumbing, no training)."""
+    from qnx.train.__main__ import build_argparser, config_from_args
+
+    args = build_argparser().parse_args([
+        "--config", "mnist-bnn", "--activation", "quantized_tanh",
+        "--ckpt-every", "5", "--resume"])
+    cf = config_from_args(args)
+    assert cf.activation == "quantized_tanh"
+    assert cf.activation_name() == "quantized_tanh"
+    assert args.ckpt_every == 5 and args.resume is True
+    # no override -> derived activation unchanged
+    args = build_argparser().parse_args(["--config", "mnist-bnn"])
+    assert config_from_args(args).activation is None
