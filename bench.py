@@ -103,32 +103,46 @@ def main(batch=1024, width=128, iters=32, repeats=5, full=False):
     _report("float32(highest) baseline", head["f32-strict"], batch, None)
 
     if full:
-        # ---- detail pass: popcount engine + relaxed bf16-MXU baseline ---
+        # ---- detail pass: ALL four targets re-timed in ONE interleaved
+        # group, so every ratio printed below is same-pass (cross-pass
+        # ratios would carry the ~20% relay drift the interleaving exists
+        # to cancel).  The headline JSON above remains the record.
         packed = pack_vgg(variables, cf)
         detail = time_fns_marginal_interleaved(
             {
+                "f32-strict": (f32_strict, (images, vars_f)),
                 "f32-default-bf16mxu": (
                     lambda x, v: float_forward(v, cf_f, x), (images, vars_f)),
+                "int8-mxu": (lambda x, m: i8_forward(m, x), (images, i8)),
                 "popcount": (
                     lambda x, m: vgg_forward(m, x), (images, packed)),
             },
             iters=iters, repeats=repeats,
         )
+        d_f32 = batch / detail["f32-strict"]["t"]
         for name, r in sorted(detail.items(), key=lambda kv: kv[1]["t"]):
-            _report(name, r, batch, ips_f32)
-        t_bf16 = detail["f32-default-bf16mxu"]["t"]
-        print(f"# int8-mxu vs bf16-default baseline: "
-              f"{t_bf16/t_i8:.2f}x", file=sys.stderr)
+            _report(f"[detail] {name}", r, batch, d_f32)
+        print(f"# [detail] int8-mxu vs bf16-default baseline: "
+              f"{detail['f32-default-bf16mxu']['t']/detail['int8-mxu']['t']:.2f}x",
+              file=sys.stderr)
     return ips, ips / ips_f32
 
 
-if __name__ == "__main__":
+def parse_and_run(argv=None):
+    """Shared entry for ``python bench.py`` and ``python -m qnx bench``:
+    every flag reaches main() (no silently-dropped arguments)."""
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--full", action="store_true",
                    help="also time the popcount engine and bf16-default "
                         "baseline (extra compiles; slower)")
     p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--width", type=int, default=128)
     p.add_argument("--iters", type=int, default=32)
     p.add_argument("--repeats", type=int, default=5)
-    a = p.parse_args()
-    main(batch=a.batch, iters=a.iters, repeats=a.repeats, full=a.full)
+    a = p.parse_args(argv)
+    return main(batch=a.batch, width=a.width, iters=a.iters,
+                repeats=a.repeats, full=a.full)
+
+
+if __name__ == "__main__":
+    parse_and_run()

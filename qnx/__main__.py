@@ -174,7 +174,8 @@ def _cmd_bench(argv):
     else:
         import bench  # repo-root headline bench
 
-        bench.main(full="--full" in argv)
+        bench.parse_and_run(argv[1:] if argv and argv[0] == "headline"
+                            else argv)
     return 0
 
 

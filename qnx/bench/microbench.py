@@ -96,8 +96,11 @@ def _marginal_loop(fn: Callable):
             # time_fn_marginal for why additive perturbations are unsafe.
             shift = jnp.asarray(carry, jnp.int32) % x.shape[0]
             out = fn(jnp.roll(x, shift, axis=0), *rest)
-            first = jax.tree.leaves(out)[0]
-            return carry + jnp.sum(jnp.abs(first).astype(jnp.float32))
+            # consume EVERY output leaf (trap #2): a first-leaf-only carry
+            # lets XLA dead-code-eliminate whatever feeds the other leaves
+            for leaf in jax.tree.leaves(out):
+                carry = carry + jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+            return carry
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
@@ -178,8 +181,11 @@ def time_fn_marginal(fn: Callable, *args, iters: int | None = None,
                 # or hoisted, and its cost is one O(x) copy per iteration.
                 shift = jnp.asarray(carry, jnp.int32) % x.shape[0]
                 out = fn(jnp.roll(x, shift, axis=0), *rest)
-                first = jax.tree.leaves(out)[0]
-                return carry + jnp.sum(jnp.abs(first).astype(jnp.float32))
+                # consume every leaf — a first-leaf-only carry would let
+                # XLA DCE whatever feeds the other leaves (trap #2)
+                for leaf in jax.tree.leaves(out):
+                    carry = carry + jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+                return carry
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
         return loop

@@ -148,7 +148,9 @@ def validate_vgg_variables(variables: dict, cf: Config) -> None:
     fh, fw = hin // 8, win // 8  # three 2x2 pools (after conv_1/3/5)
     flat = fh * fw * cin
     s = shape("dense_0")
-    if s != (flat, s[1]):
+    if len(s) != 2:
+        raise ValueError(f"dense_0: kernel must be 2-D (in, units), got {s}")
+    if s[0] != flat:
         raise ValueError(
             f"dense_0: kernel {s} does not consume the flattened conv "
             f"output ({fh}x{fw}x{cin} = {flat} after three 2x2 pools of the "
@@ -156,6 +158,9 @@ def validate_vgg_variables(variables: dict, cf: Config) -> None:
     k = s[1]
     for name in ("dense_1", "dense_out"):
         s = shape(name)
+        if len(s) != 2:
+            raise ValueError(f"{name}: kernel must be 2-D (in, units), "
+                             f"got {s}")
         if s[0] != k:
             raise ValueError(
                 f"{name}: input width {s[0]} does not chain from the "

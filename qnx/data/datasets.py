@@ -176,6 +176,23 @@ def _find(base: str, *names: str) -> str | None:
 
 
 def _try_local(name: str) -> DatasetBundle | None:
+    """Each candidate file set is attempted independently: a corrupt or
+    truncated local file logs a LOUD warning and falls through to the next
+    source (keras/synthetic) instead of aborting the documented resolution
+    chain — but never silently, since the user clearly intended local data
+    to be used."""
+    import sys
+
+    try:
+        return _try_local_inner(name)
+    except Exception as e:  # corrupt/truncated local files
+        print(f"WARNING: local {name} files found but unreadable "
+              f"({type(e).__name__}: {e}); falling back to the next "
+              "data source", file=sys.stderr)
+        return None
+
+
+def _try_local_inner(name: str) -> DatasetBundle | None:
     import os
     import pickle
 

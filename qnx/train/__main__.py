@@ -98,13 +98,20 @@ def main(argv=None):
                              ckpt_dir=args.out, resume=args.resume,
                              ckpt_every=args.ckpt_every)
         elapsed = time.time() - t0
-        final = history[-1]["test"]
-        print(f"done in {elapsed:.1f}s: test accuracy {final['accuracy']:.4f}")
-        for h in history:
-            logger.log(event="epoch", epoch=h["epoch"],
-                       test_accuracy=h["test"]["accuracy"],
-                       test_loss=h["test"]["loss"])
-        logger.log(event="done", seconds=elapsed, **final)
+        if not history:
+            # --resume on a run that already completed cf.epochs
+            print(f"nothing to do: checkpoint already has {cf.epochs} "
+                  f"epochs trained; raise --epochs to extend the run")
+            logger.log(event="done", seconds=elapsed, note="already-complete")
+        else:
+            final = history[-1]["test"]
+            print(f"done in {elapsed:.1f}s: "
+                  f"test accuracy {final['accuracy']:.4f}")
+            for h in history:
+                logger.log(event="epoch", epoch=h["epoch"],
+                           test_accuracy=h["test"]["accuracy"],
+                           test_loss=h["test"]["loss"])
+            logger.log(event="done", seconds=elapsed, **final)
     finally:
         logger.close()
 

@@ -30,7 +30,8 @@ def save_checkpoint(path: str, variables: dict, cf) -> str:
     return path
 
 
-def save_train_state(path: str, state, cf, epochs_done: int) -> str:
+def save_train_state(path: str, state, cf, epochs_done: int,
+                     data_fp: dict | None = None) -> str:
     """Persist the FULL training state for exact resume (VERDICT r3 #4):
     variables (params + quant + batch_stats), the optimizer state (flattened
     to a leaf list — optax namedtuple nodes round-trip poorly through
@@ -59,14 +60,27 @@ def save_train_state(path: str, state, cf, epochs_done: int) -> str:
     ckptr.wait_until_finished()
     with open(path + ".config.json", "w") as f:
         json.dump({"config": dataclasses.asdict(cf),
-                   "epochs_done": int(epochs_done)}, f, indent=1)
+                   "epochs_done": int(epochs_done),
+                   "data_fp": data_fp}, f, indent=1)
     return path
 
 
-def restore_train_state(path: str, steps_per_epoch: int):
+def restore_train_state(path: str, steps_per_epoch: int, cf=None,
+                        data_fp: dict | None = None):
     """Load a :func:`save_train_state` checkpoint; returns
     ``(state, cf, epochs_done)`` with the optimizer state re-inflated into a
-    fresh ``create_train_state`` skeleton (same treedef by construction)."""
+    fresh ``create_train_state`` skeleton (same treedef by construction).
+
+    ``cf`` is the REQUESTED config for the resuming run: it must equal the
+    saved config in every field except ``epochs`` (extending a run is the
+    normal resume flow), and it — not the saved config — rebuilds the
+    optimizer, so the exponential LR decay re-derives from the NEW epoch
+    total exactly as re-running Keras fit with more epochs would.  With
+    ``cf=None`` the saved config is used as-is.
+
+    ``data_fp`` (from ``qnx.train.loop.data_fingerprint``) guards against
+    silently resuming on different data — a real hazard in this codebase,
+    where dataset loading falls back to synthetic twins by design."""
     import orbax.checkpoint as ocp
 
     from qnx.train.loop import create_train_state
@@ -79,7 +93,20 @@ def restore_train_state(path: str, steps_per_epoch: int):
         raise ValueError(
             f"{path} is a weights-only checkpoint (no train state); "
             "resume requires one written by save_train_state / fit(ckpt_dir=)")
-    cf = Config(**sidecar["config"])
+    cf_saved = Config(**sidecar["config"])
+    if cf is None:
+        cf = cf_saved
+    elif cf_saved.replace(epochs=cf.epochs) != cf:
+        raise ValueError(
+            "checkpoint config differs from the requested config:\n"
+            f"  saved:     {cf_saved}\n  requested: {cf}")
+    saved_fp = sidecar.get("data_fp")
+    if data_fp is not None and saved_fp is not None and saved_fp != data_fp:
+        raise ValueError(
+            "checkpoint was trained on DIFFERENT data than this run "
+            f"(saved fingerprint {saved_fp}, current {data_fp}) — resuming "
+            "would silently mix datasets (e.g. a synthetic fallback after "
+            "real files went missing). Fix the data path or start fresh.")
     state = create_train_state(cf, jax.random.PRNGKey(cf.seed),
                                steps_per_epoch)
     # the fresh state gives orbax the exact target topology (same treedef
@@ -99,7 +126,7 @@ def restore_train_state(path: str, steps_per_epoch: int):
         step=jnp.asarray(payload["step"], jnp.int32),
         params=v["params"], quant=v.get("quant", {}),
         batch_stats=v.get("batch_stats", {}), opt_state=opt_state)
-    return state, cf, int(sidecar["epochs_done"])
+    return state, cf_saved, int(sidecar["epochs_done"])
 
 
 def load_checkpoint(path: str):

@@ -115,6 +115,9 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     apply_fn: Callable = struct.field(pytree_node=False)
     loss_fn: Callable = struct.field(pytree_node=False)
+    # the LR schedule feeding tx, kept introspectable so resume logic (and
+    # tests) can verify which epoch total the decay was derived from
+    schedule: Callable = struct.field(pytree_node=False, default=None)
 
 
 def create_train_state(cf: Config, rng: Array, steps_per_epoch: int) -> TrainState:
@@ -122,7 +125,8 @@ def create_train_state(cf: Config, rng: Array, steps_per_epoch: int) -> TrainSta
     params = variables["params"]
     quant = variables.get("quant", {})
     batch_stats = variables.get("batch_stats", {})
-    tx = optax.adam(exp_decay_schedule(cf, steps_per_epoch))
+    schedule = exp_decay_schedule(cf, steps_per_epoch)
+    tx = optax.adam(schedule)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -132,6 +136,7 @@ def create_train_state(cf: Config, rng: Array, steps_per_epoch: int) -> TrainSta
         tx=tx,
         apply_fn=module.apply,
         loss_fn=make_loss(cf),
+        schedule=schedule,
     )
 
 
@@ -204,6 +209,23 @@ def _train_epoch(state: TrainState, x: Array, y: Array, rng: Array,
     return state, last
 
 
+def data_fingerprint(x_train, y_train) -> dict:
+    """Cheap JSON-able fingerprint of the training data, stored in the
+    checkpoint sidecar so resume can refuse to continue on different data
+    (the loaders fall back to synthetic twins by design, so 'same config'
+    does NOT imply 'same data')."""
+    import numpy as _np
+
+    x = _np.asarray(x_train)
+    y = _np.asarray(y_train)
+    k = min(len(x), 256)
+    return {
+        "n": int(len(x)),
+        "x_sum": round(float(_np.sum(x[:k], dtype=_np.float64)), 6),
+        "y_sum": int(_np.sum(_np.asarray(y[:k], _np.int64))),
+    }
+
+
 def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
         ckpt_dir: str | None = None, resume: bool = False,
         ckpt_every: int = 1, stop_after: int | None = None,
@@ -248,19 +270,19 @@ def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
 
     ckpt_path = os.path.join(os.path.abspath(ckpt_dir), "train_state") \
         if ckpt_dir else None
+    data_fp = data_fingerprint(x_train, y_train) if ckpt_path else None
     start_epoch = 0
     if resume:
         if not (ckpt_path and os.path.isdir(ckpt_path)):
             raise FileNotFoundError(
                 f"resume requested but no checkpoint at {ckpt_path}")
-        state, cf_saved, start_epoch = restore_train_state(ckpt_path, opt_steps)
         # epochs may differ: extending an interrupted/finished run is the
-        # normal resume flow (the LR schedule re-derives from the new total,
-        # exactly as re-running Keras fit with more epochs would)
-        if cf_saved.replace(epochs=cf.epochs) != cf:
-            raise ValueError(
-                "checkpoint config differs from the requested config:\n"
-                f"  saved:     {cf_saved}\n  requested: {cf}")
+        # normal resume flow; restore_train_state validates all other
+        # fields, checks the data fingerprint, and rebuilds the optimizer
+        # from THIS cf so the LR decay re-derives from the new epoch total
+        # (exactly as re-running Keras fit with more epochs would)
+        state, _, start_epoch = restore_train_state(
+            ckpt_path, opt_steps, cf=cf, data_fp=data_fp)
     else:
         state = create_train_state(cf, rng, opt_steps)
     for _ in range(start_epoch):  # replay the consumed per-epoch splits
@@ -295,7 +317,8 @@ def fit(cf: Config, data, log_every: int = 0, rng: Array | None = None,
         stopping = (stop_after is not None and epoch + 1 >= stop_after)
         if ckpt_path and ((epoch + 1) % max(ckpt_every, 1) == 0
                           or epoch + 1 == cf.epochs or stopping):
-            save_train_state(ckpt_path, state, cf, epoch + 1)
+            save_train_state(ckpt_path, state, cf, epoch + 1,
+                             data_fp=data_fp)
         if stopping:
             break
     return state, history

@@ -72,3 +72,17 @@ def test_train_argparser_plumbs_round4_flags():
     # no override -> derived activation unchanged
     args = build_argparser().parse_args(["--config", "mnist-bnn"])
     assert config_from_args(args).activation is None
+
+
+def test_resume_of_completed_run_is_graceful(run_dir, capsys):
+    """--resume with the same --epochs on a finished run: 'nothing to do',
+    rc 0, no IndexError."""
+    rc = qnx_main([
+        "train", "--dataset", "digits", "--architecture", "mlp",
+        "--network-type", "full-bnn", "--dim", "64", "--num-hidden", "2",
+        "--h", "1.0", "--epochs", "5", "--batch-size", "64",
+        "--lr-start", "5e-3", "--lr-end", "1e-3",
+        "--out", run_dir, "--resume",
+    ])
+    assert rc == 0
+    assert "nothing to do" in capsys.readouterr().out

@@ -251,3 +251,14 @@ def test_initialize_distributed_signature():
     params = inspect.signature(initialize_distributed).parameters
     assert set(params) == {"coordinator_address", "num_processes",
                            "process_id"}
+
+
+def test_corrupt_local_file_warns_and_falls_through(tmp_path, monkeypatch,
+                                                    capsys):
+    """A truncated local mnist.npz must not abort the resolution chain: a
+    loud warning, then fall through to the next source."""
+    (tmp_path / "mnist.npz").write_bytes(b"PK\x03\x04 truncated")
+    monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+    ds = load_dataset("MNIST")
+    assert ds.meta["source"] in ("keras", "synthetic")
+    assert "unreadable" in capsys.readouterr().err

@@ -181,15 +181,43 @@ def test_resume_is_bit_exact(tmp_path):
 
 def test_resume_can_extend_epochs(tmp_path):
     """epochs may grow on resume — extending a finished run is the normal
-    CLI flow (`--epochs 4 --resume` after a 2-epoch run)."""
+    CLI flow (`--epochs 4 --resume` after a 2-epoch run) — and the LR
+    schedule re-derives from the NEW epoch total (a saved-config schedule
+    would decay the extension epochs to ~lr_end^2, silently freezing
+    training)."""
+    from qnx.train.loop import exp_decay_schedule
+
     ds = synthetic((8, 8, 1), n_train=64, n_test=16)
     cf2 = TINY_MLP.replace(dataset="digits", epochs=2, batch_size=32)
     d = str(tmp_path / "ckpt")
     fit(cf2, ds.as_tuples(), ckpt_dir=d)
-    state, hist = fit(cf2.replace(epochs=4), ds.as_tuples(), ckpt_dir=d,
-                      resume=True)
+    cf4 = cf2.replace(epochs=4)
+    state, hist = fit(cf4, ds.as_tuples(), ckpt_dir=d, resume=True)
     assert [h["epoch"] for h in hist] == [2, 3]
     assert int(state.step) == 4 * 2  # 2 steps/epoch x 4 epochs total
+    # schedule introspection: the resumed state's LR at an extension step
+    # must match the 4-epoch schedule, not the saved 2-epoch one
+    step = jnp.int32(3 * 2)  # first step of epoch 3
+    want = float(exp_decay_schedule(cf4, 2)(step))
+    stale = float(exp_decay_schedule(cf2, 2)(step))
+    got = float(state.schedule(step))
+    assert got == pytest.approx(want, rel=1e-6)
+    assert got != pytest.approx(stale, rel=1e-3)
+
+
+def test_resume_rejects_different_data(tmp_path):
+    """The sidecar stores a data fingerprint: resuming on different data
+    (e.g. a synthetic fallback after real files vanished) must fail loudly
+    rather than silently mixing datasets."""
+    ds_a = synthetic((8, 8, 1), n_train=64, n_test=16, seed=0)
+    ds_b = synthetic((8, 8, 1), n_train=64, n_test=16, seed=99)
+    cf2 = TINY_MLP.replace(dataset="digits", epochs=3, batch_size=32)
+    d = str(tmp_path / "ckpt")
+    fit(cf2, ds_a.as_tuples(), ckpt_dir=d, stop_after=1)
+    with pytest.raises(ValueError, match="DIFFERENT data"):
+        fit(cf2, ds_b.as_tuples(), ckpt_dir=d, resume=True)
+    # same data resumes fine
+    fit(cf2, ds_a.as_tuples(), ckpt_dir=d, resume=True)
 
 
 def test_ckpt_every_skips_and_always_saves_last(tmp_path):
