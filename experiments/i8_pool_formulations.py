@@ -11,6 +11,21 @@ conv blocks end-to-end (conv + threshold + 2x2 maxpool) with:
 B and A are bit-identical (max over the same four elements); if B wins,
 adopt it in I8Conv.  Run ON the TPU:
     python experiments/i8_pool_formulations.py
+
+MEASURED (v5e, 2026-08-21) — the pool epilogue is already FREE:
+
+    32x32 128->128: A 1.185 ms | B 1.188 ms | C-no-pool 1.261 ms
+    16x16 256->256: A 1.093 ms | B 0.998 ms | C-no-pool 1.107 ms
+    8x8   512->512: A 0.874 ms | B 0.890 ms | C-no-pool 0.958 ms
+
+A == B within jitter, and BOTH beat the pool-free conv: XLA fuses the
+threshold+pool into the conv consumer, so pooling shrinks the HBM write 4x
+and pays nothing.  Together with i8_conv_tapgemm.py (bare conv ~0.90 of
+int8 MXU peak; tap reformulations much slower), this closes the int8
+engine's per-chip perf investigation: the engine runs at the sum of its
+best-known layer times, and the remaining gap to the 3.2 ms whole-model
+MXU SoL is XLA's 3x3-conv MXU utilization, which no measured alternative
+beats.  reduce_window stays (no change to the engine).
 """
 import os
 import sys
