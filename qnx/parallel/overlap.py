@@ -63,6 +63,10 @@ def allgather_gemm_overlapped(x: jax.Array, w: jax.Array, mesh: Mesh,
         shard_map, mesh=mesh,
         in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
         out_specs=P(None, MODEL_AXIS),
+        # the per-chunk gemm may be a pallas_call (ring popcount path),
+        # whose ShapeDtypeStruct carries no varying-manual-axes annotation;
+        # the kernel is purely local so vma checking adds nothing here
+        check_vma=False,
     )
     def run(xs, ws):
         # xs: (M, K/m) local activation chunk; ws: (K, N/m) resident shard

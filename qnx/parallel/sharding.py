@@ -4,8 +4,11 @@ Training (fake-quant): Megatron-style TP via GSPMD — every quantized kernel
 is output-channel-sharded over the 'model' axis; per-channel vectors (BN
 stats/params, biases, thresholds) follow their channel axis; the batch is
 sharded over 'data'.  XLA inserts the all-gathers/reduce-scatters at layer
-boundaries (SURVEY.md §7.5: "no hand-rolled comm" at the training level —
-the hand-optimized overlap lives in the serving engine).
+boundaries (SURVEY.md §7.5: "no hand-rolled comm" at the training level).
+Packed-engine SERVING under a >1-way model axis instead runs the explicit
+ring-overlapped forward (:mod:`qnx.parallel.tp_forward`, round 5): GSPMD
+cannot partition the Pallas popcount custom calls, so the shard_map ring is
+what actually splits popcount compute over these shardings.
 
 Serving (packed): packed weight planes (Kw, N) are sharded over their
 output-channel axis N, so popcount GEMM shards stay local and one
