@@ -175,24 +175,25 @@ def _find(base: str, *names: str) -> str | None:
     return None
 
 
-def _try_local(name: str) -> DatasetBundle | None:
-    """Each candidate file set is attempted independently: a corrupt or
-    truncated local file logs a LOUD warning and falls through to the next
-    source (keras/synthetic) instead of aborting the documented resolution
-    chain — but never silently, since the user clearly intended local data
-    to be used."""
+def _attempt(load, what: str):
+    """Run one candidate loader; a corrupt or truncated file logs a LOUD
+    warning and returns None so the NEXT candidate (same or later directory,
+    then keras/synthetic) is still tried (ADVICE r4: the old whole-scan
+    try/except aborted the chain on the first corrupt file) — but never
+    silently, since the user clearly intended local data to be used."""
     import sys
 
     try:
-        return _try_local_inner(name)
-    except Exception as e:  # corrupt/truncated local files
-        print(f"WARNING: local {name} files found but unreadable "
-              f"({type(e).__name__}: {e}); falling back to the next "
-              "data source", file=sys.stderr)
+        return load()
+    except Exception as e:
+        print(f"WARNING: local {what} found but unreadable "
+              f"({type(e).__name__}: {e}); trying the next data source",
+              file=sys.stderr)
         return None
 
 
-def _try_local_inner(name: str) -> DatasetBundle | None:
+def _try_local(name: str) -> DatasetBundle | None:
+    """Each candidate file set is attempted independently (see _attempt)."""
     import os
     import pickle
 
@@ -202,13 +203,18 @@ def _try_local_inner(name: str) -> DatasetBundle | None:
         if name == "MNIST":
             npz = _find(base, "mnist.npz")
             if npz:
-                with np.load(npz) as z:
-                    xt, yt, xv, yv = (z["x_train"], z["y_train"],
-                                      z["x_test"], z["y_test"])
-                return DatasetBundle(
-                    _scale_pm1(xt[..., None]), yt.astype(np.int32),
-                    _scale_pm1(xv[..., None]), yv.astype(np.int32),
-                    {"source": "local-npz", "name": "MNIST", "path": npz})
+                def load_npz(npz=npz):
+                    with np.load(npz) as z:
+                        xt, yt, xv, yv = (z["x_train"], z["y_train"],
+                                          z["x_test"], z["y_test"])
+                    return DatasetBundle(
+                        _scale_pm1(xt[..., None]), yt.astype(np.int32),
+                        _scale_pm1(xv[..., None]), yv.astype(np.int32),
+                        {"source": "local-npz", "name": "MNIST", "path": npz})
+
+                r = _attempt(load_npz, npz)
+                if r:
+                    return r
             files = [_find(base, f"{s}-{k}-idx{d}-ubyte",
                            f"{s}-{k}-idx{d}-ubyte.gz")
                      for s, k, d in (("train", "images", 3),
@@ -216,37 +222,55 @@ def _try_local_inner(name: str) -> DatasetBundle | None:
                                      ("t10k", "images", 3),
                                      ("t10k", "labels", 1))]
             if all(files):
-                xt, yt, xv, yv = (_read_idx(f) for f in files)
-                return DatasetBundle(
-                    _scale_pm1(xt[..., None]), yt.astype(np.int32),
-                    _scale_pm1(xv[..., None]), yv.astype(np.int32),
-                    {"source": "local-idx", "name": "MNIST", "path": base})
+                def load_idx(files=files):
+                    xt, yt, xv, yv = (_read_idx(f) for f in files)
+                    return DatasetBundle(
+                        _scale_pm1(xt[..., None]), yt.astype(np.int32),
+                        _scale_pm1(xv[..., None]), yv.astype(np.int32),
+                        {"source": "local-idx", "name": "MNIST",
+                         "path": base})
+
+                r = _attempt(load_idx, f"MNIST idx files in {base}")
+                if r:
+                    return r
         if name == "CIFAR-10":
             bdir = os.path.join(base, "cifar-10-batches-py")
             if os.path.isdir(bdir):
-                def rd(fname):
-                    with open(os.path.join(bdir, fname), "rb") as f:
-                        d = pickle.load(f, encoding="bytes")
-                    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
-                    return x, np.asarray(d[b"labels"], np.int32)
+                def load_batches(bdir=bdir):
+                    def rd(fname):
+                        with open(os.path.join(bdir, fname), "rb") as f:
+                            d = pickle.load(f, encoding="bytes")
+                        x = d[b"data"].reshape(-1, 3, 32, 32)
+                        return (x.transpose(0, 2, 3, 1),
+                                np.asarray(d[b"labels"], np.int32))
 
-                parts = [rd(f"data_batch_{i}") for i in range(1, 6)]
-                xt = np.concatenate([p[0] for p in parts])
-                yt = np.concatenate([p[1] for p in parts])
-                xv, yv = rd("test_batch")
-                return DatasetBundle(
-                    _scale_pm1(xt), yt, _scale_pm1(xv), yv,
-                    {"source": "local-batches", "name": "CIFAR-10",
-                     "path": bdir})
+                    parts = [rd(f"data_batch_{i}") for i in range(1, 6)]
+                    xt = np.concatenate([p[0] for p in parts])
+                    yt = np.concatenate([p[1] for p in parts])
+                    xv, yv = rd("test_batch")
+                    return DatasetBundle(
+                        _scale_pm1(xt), yt, _scale_pm1(xv), yv,
+                        {"source": "local-batches", "name": "CIFAR-10",
+                         "path": bdir})
+
+                r = _attempt(load_batches, bdir)
+                if r:
+                    return r
             npz = _find(base, "cifar10.npz")
             if npz:
-                with np.load(npz) as z:
-                    xt, yt, xv, yv = (z["x_train"], z["y_train"],
-                                      z["x_test"], z["y_test"])
-                return DatasetBundle(
-                    _scale_pm1(xt), yt.ravel().astype(np.int32),
-                    _scale_pm1(xv), yv.ravel().astype(np.int32),
-                    {"source": "local-npz", "name": "CIFAR-10", "path": npz})
+                def load_cnpz(npz=npz):
+                    with np.load(npz) as z:
+                        xt, yt, xv, yv = (z["x_train"], z["y_train"],
+                                          z["x_test"], z["y_test"])
+                    return DatasetBundle(
+                        _scale_pm1(xt), yt.ravel().astype(np.int32),
+                        _scale_pm1(xv), yv.ravel().astype(np.int32),
+                        {"source": "local-npz", "name": "CIFAR-10",
+                         "path": npz})
+
+                r = _attempt(load_cnpz, npz)
+                if r:
+                    return r
     return None
 
 

@@ -262,3 +262,32 @@ def test_corrupt_local_file_warns_and_falls_through(tmp_path, monkeypatch,
     ds = load_dataset("MNIST")
     assert ds.meta["source"] in ("keras", "synthetic")
     assert "unreadable" in capsys.readouterr().err
+
+
+def test_corrupt_candidate_still_tries_next_in_same_dir(tmp_path,
+                                                        monkeypatch, capsys):
+    """ADVICE r4: each candidate file set is attempted INDEPENDENTLY — a
+    corrupt mnist.npz must not prevent the idx files in the same directory
+    from loading."""
+    import struct
+
+    (tmp_path / "mnist.npz").write_bytes(b"PK\x03\x04 truncated")
+    rng = np.random.default_rng(0)
+
+    def write_idx(path, arr):
+        header = struct.pack(">BBBB", 0, 0, 8, arr.ndim) + b"".join(
+            struct.pack(">I", d) for d in arr.shape)
+        path.write_bytes(header + arr.astype(np.uint8).tobytes())
+
+    write_idx(tmp_path / "train-images-idx3-ubyte",
+              rng.integers(0, 256, (12, 28, 28)))
+    write_idx(tmp_path / "train-labels-idx1-ubyte",
+              rng.integers(0, 10, (12,)))
+    write_idx(tmp_path / "t10k-images-idx3-ubyte",
+              rng.integers(0, 256, (4, 28, 28)))
+    write_idx(tmp_path / "t10k-labels-idx1-ubyte",
+              rng.integers(0, 10, (4,)))
+    monkeypatch.setenv("QNX_DATA_DIR", str(tmp_path))
+    ds = load_dataset("MNIST")
+    assert ds.meta["source"] == "local-idx"  # npz skipped, idx loaded
+    assert "unreadable" in capsys.readouterr().err
