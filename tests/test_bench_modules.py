@@ -84,10 +84,11 @@ def test_interleaved_marginal_timer_structure():
         iters=8, repeats=3)
     for name in ("a", "b"):
         r = out[name]
-        assert set(r) == {"t", "median", "samples", "spread"}
+        assert set(r) == {"t", "median", "samples", "spread", "unreliable"}
         assert len(r["samples"]) == 3
         assert r["samples"] == sorted(r["samples"])
         assert np.isfinite(r["t"]) and np.isfinite(r["median"])
+        assert r["t"] > 0 and r["median"] > 0  # clamped (ADVICE r4)
 
 
 def test_bench_main_prints_headline_json(capsys):

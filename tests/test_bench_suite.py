@@ -7,8 +7,13 @@ from qnx.utils.config import CIFAR10_BNN, CIFAR10_TNN, MNIST_BNN
 
 
 def _stub_timer(monkeypatch):
-    monkeypatch.setattr(suite, "time_fn_marginal",
-                        lambda fn, *args, **kw: 1e-3)
+    def fake_interleaved(targets, **kw):
+        return {name: {"t": 1e-3, "median": 1e-3, "samples": [1e-3],
+                       "spread": 0.0, "unreliable": False}
+                for name in targets}
+
+    monkeypatch.setattr(suite, "time_fns_marginal_interleaved",
+                        fake_interleaved)
 
 
 def test_bench_mlp_rows(monkeypatch):
