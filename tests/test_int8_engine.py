@@ -7,31 +7,10 @@ import pytest
 
 from qnx.convert.pack_model import (pack_int8, pack_mlp, pack_vgg,
                                     pack_vgg_bitplane)
-from qnx.data.datasets import load_dataset, synthetic
 from qnx.nn.int8_engine import i8_forward
 from qnx.nn.inference import mlp_forward, vgg_forward
-from qnx.train.loop import create_train_state, train_step
-from qnx.utils.config import Config
 
-
-def _train(cf, shape, steps=5, batch=16):
-    ds = synthetic(shape, n_train=batch * steps, n_test=48)
-    state = create_train_state(cf, jax.random.PRNGKey(0), steps_per_epoch=steps)
-    x, y = jnp.asarray(ds.x_train), jnp.asarray(ds.y_train)
-    for i in range(steps):
-        state, _ = train_step(state, x[i * batch:(i + 1) * batch],
-                              y[i * batch:(i + 1) * batch])
-    variables = {"params": state.params, "quant": state.quant,
-                 "batch_stats": state.batch_stats}
-    gold = state.apply_fn(variables, jnp.asarray(ds.x_test), train=False)
-    return ds, variables, np.asarray(gold)
-
-
-MLP_CF = Config(dataset="synthetic-mnist", architecture="mlp", dim=64,
-                num_hidden=3, network_type="full-bnn", H=1.0)
-VGG_CF = Config(dataset="synthetic-cifar", architecture="vgg", width=8,
-                dense_units=64, network_type="full-bnn", H=1.0,
-                first_layer_float=True, last_layer_float=True)
+from engine_test_utils import MLP_CF, VGG_CF, train_golden as _train
 
 
 class TestInt8Mlp:
@@ -82,7 +61,7 @@ class TestInt8Vgg:
         (Fresh training keeps gamma > 0, so we force negatives.)"""
         import flax
 
-        ds, variables, _ = _train(VGG_CF, (32, 32, 3), steps=3)
+        ds, variables, _ = _train(VGG_CF, (32, 32, 3))  # shared cache entry
         variables = flax.core.unfreeze(jax.device_get(variables))
         for bn in ("bn_conv_1", "bn_conv_3", "bn_conv_5"):
             g = np.array(variables["params"][bn]["scale"])
@@ -103,7 +82,7 @@ class TestInt8Vgg:
 
     def test_all_quant_boundaries(self):
         cf = VGG_CF.replace(first_layer_float=False, last_layer_float=False)
-        ds, variables, gold = _train(cf, (32, 32, 3), steps=4)
+        ds, variables, gold = _train(cf, (32, 32, 3))
         i8 = pack_int8(variables, cf)
         out = np.asarray(i8_forward(i8, jnp.asarray(ds.x_test)))
         assert (np.argmax(out, -1) == np.argmax(gold, -1)).all()
