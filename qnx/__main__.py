@@ -22,6 +22,25 @@ def _cmd_train(argv):
     return main(argv)
 
 
+def _pack_for_engine(variables, cf, engine):
+    """Lower trained variables into the requested engine artifact.
+
+    ``packed`` resolves per config: MLP -> bit-packed popcount MLP; VGG with
+    abits=1 -> packed popcount VGG; VGG with abits>1 (e.g. cifar10-tnn) ->
+    the bitplane engine (previously unreachable from the CLI, which raised
+    the pack_vgg abits error instead)."""
+    from qnx.convert.pack_model import (pack_int8, pack_mlp, pack_vgg,
+                                        pack_vgg_bitplane)
+
+    if engine == "int8":
+        return pack_int8(variables, cf)
+    if cf.architecture == "mlp":
+        return pack_mlp(variables, cf)
+    if cf.abits > 1:
+        return pack_vgg_bitplane(variables, cf)
+    return pack_vgg(variables, cf)
+
+
 def _engine_forward(model):
     import jax
 
@@ -48,7 +67,6 @@ def _cmd_convert(argv):
 
     import jax
 
-    from qnx.convert.pack_model import pack_int8, pack_mlp, pack_vgg
     from qnx.utils.config import CONFIGS
 
     cf = CONFIGS[args.config]
@@ -63,12 +81,7 @@ def _cmd_convert(argv):
     else:
         p.error("one of --h5 / --ckpt is required")
     variables = jax.device_get(variables)
-    if args.engine == "int8":
-        model = pack_int8(variables, cf)
-    elif cf.architecture == "mlp":
-        model = pack_mlp(variables, cf)
-    else:
-        model = pack_vgg(variables, cf)
+    model = _pack_for_engine(variables, cf, args.engine)
     with open(args.out, "wb") as f:
         pickle.dump(jax.device_get(model), f)
     print(f"wrote {args.engine} artifact: {args.out}")
@@ -108,15 +121,8 @@ def _cmd_eval(argv):
             correct += int((np.argmax(np.asarray(logits), -1)
                             == y[i:i + args.batch_size]).sum())
     else:
-        from qnx.convert.pack_model import pack_int8, pack_mlp, pack_vgg
-
         variables = jax.device_get(variables)
-        if args.engine == "int8":
-            model = pack_int8(variables, cf)
-        elif cf.architecture == "mlp":
-            model = pack_mlp(variables, cf)
-        else:
-            model = pack_vgg(variables, cf)
+        model = _pack_for_engine(variables, cf, args.engine)
         fwd = _engine_forward(model)
         correct = 0
         for i in range(0, len(x), args.batch_size):

@@ -37,7 +37,14 @@ V5E_PEAKS = {
     "bf16_macs": 98.5e12,        # 197 TFLOPS spec
     "f32_highest_macs": 16.4e12, # bf16 peak / 6 (6-pass f32 decomposition)
     "hbm_bytes": 819e9,          # spec
-    "vpu_int32_ops": 3.9e12,     # theoretical: 8x128 lanes * 4 ALUs * 940MHz
+    # Calibrated (round 5): best measured popcount-GEMM rate on this chip —
+    # 65.0 TMAC/s × 3 ops / 32 MACs per word = 6.1e12 int32 ops/s at
+    # 512×512 blocks (experiments/xnor_sol_variants.py, 2026-08-21).  The
+    # previous 3.9e12 "8x128 lanes × 4 ALUs × 940 MHz" model undercounted
+    # the VPU's sustained integer issue rate by ~1.6x, which is why round-4
+    # fractions could exceed 1.0; fractions are now relative to this
+    # measured ceiling.
+    "vpu_int32_ops": 6.1e12,
 }
 
 

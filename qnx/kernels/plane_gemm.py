@@ -46,21 +46,26 @@ def plane_gemm(
     mask: Array,
     msign: Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int | None = None,
+    block_n: int | None = None,
     interpret: bool | None = None,
 ) -> Array:
     """One activation plane through ternary/binary weights.
 
     bp: (M, Kw) {0,1}-packed plane; mask/msign: (Kw, N) weight planes
     (msign = mask & sign).  Returns (M, N) int32 = b @ w exactly.
+    Blocks default via xnor_gemm.default_blocks (round-5 geometry scan).
     """
+    from .xnor_gemm import default_blocks
+
     if interpret is None:
         interpret = _interpret_default()
     m, kw = bp.shape
     kw2, n = mask.shape
     assert kw == kw2 and mask.shape == msign.shape
-    bm, bn = min(block_m, m), min(block_n, n)
+    dbm, dbn = default_blocks(m, n)
+    bm = min(block_m or dbm, m)
+    bn = min(block_n or dbn, n)
     check_block_shape(bm, m, bn, n)
     grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
     return pl.pallas_call(

@@ -181,14 +181,18 @@ def xnor_gemm_fused(
     sgn: Array,
     tau: Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int | None = None,
+    block_n: int | None = None,
     interpret: bool | None = None,
 ) -> Array:
-    """Fused packed binary GEMM + threshold epilogue -> (M, N) int8 codes."""
+    """Fused packed binary GEMM + threshold epilogue -> (M, N) int8 codes.
+    Blocks default via xnor_gemm.default_blocks (round-5 geometry scan)."""
+    from .xnor_gemm import default_blocks
+
+    dbm, dbn = default_blocks(xp.shape[0], wp.shape[1])
     return _gemm_fused(xp, wp, wp, jnp.full((1,), k, jnp.int32), None, sgn,
-                       tau, ternary=False, block_m=block_m, block_n=block_n,
-                       interpret=interpret)
+                       tau, ternary=False, block_m=block_m or dbm,
+                       block_n=block_n or dbn, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
@@ -200,13 +204,18 @@ def ternary_gemm_fused(
     sgn: Array,
     tau: Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int | None = None,
+    block_n: int | None = None,
     interpret: bool | None = None,
 ) -> Array:
-    """Fused packed ternary GEMM + threshold epilogue -> (M, N) int8 codes."""
+    """Fused packed ternary GEMM + threshold epilogue -> (M, N) int8 codes.
+    Blocks default via xnor_gemm.default_blocks (round-5 geometry scan)."""
+    from .xnor_gemm import default_blocks
+
+    dbm, dbn = default_blocks(xp.shape[0], mask.shape[1])
     return _gemm_fused(xp, mask, sign, nnz, None, sgn, tau, ternary=True,
-                       block_m=block_m, block_n=block_n, interpret=interpret)
+                       block_m=block_m or dbm, block_n=block_n or dbn,
+                       interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

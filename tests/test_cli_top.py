@@ -86,3 +86,22 @@ def test_resume_of_completed_run_is_graceful(run_dir, capsys):
     ])
     assert rc == 0
     assert "nothing to do" in capsys.readouterr().out
+
+
+def test_packed_engine_dispatch_reaches_bitplane():
+    """--engine packed on an abits>1 VGG config must resolve to the
+    bitplane engine (round 5 — previously the CLI raised pack_vgg's
+    abits error, making PlaneVGG unreachable from the CLI)."""
+    import jax
+    import jax.numpy as jnp
+
+    from engine_test_utils import VGG_CF, train_golden
+    from qnx.__main__ import _engine_forward, _pack_for_engine
+    from qnx.nn.inference import PlaneVGG
+
+    cf = VGG_CF.replace(network_type="full-tnn", wbits=2, abits=2)
+    ds, variables, gold = train_golden(cf, (32, 32, 3))
+    model = _pack_for_engine(variables, cf, "packed")
+    assert isinstance(model, PlaneVGG)
+    out = _engine_forward(model)(model, jnp.asarray(ds.x_test))
+    assert (np.argmax(np.asarray(out), -1) == np.argmax(gold, -1)).all()
