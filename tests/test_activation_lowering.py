@@ -73,36 +73,6 @@ class TestBinarySigmoidMLP:
         assert set(np.unique(codes)) <= {0, 1}
 
 
-class TestBinarySigmoidVGG:
-    @pytest.fixture(scope="class", params=[False, True],
-                    ids=["quant-head", "float-boundary"])
-    def trained(self, request):
-        cf = VGG_CF.replace(network_type="full-bnn",
-                            activation="binary_sigmoid",
-                            first_layer_float=request.param,
-                            last_layer_float=request.param)
-        ds, variables, gold = _train(cf, (32, 32, 3), steps=3)
-        return cf, ds, variables, gold
-
-    def test_packed_parity(self, trained):
-        cf, ds, variables, gold = trained
-        packed = pack_vgg(variables, cf)
-        out = np.asarray(vgg_forward(packed, jnp.asarray(ds.x_test)))
-        assert _argmax_match(out, gold) == 1.0
-
-    def test_packed_conv_corr_is_zero(self, trained):
-        cf, _, variables, _ = trained
-        packed = pack_vgg(variables, cf)
-        for layer in packed.convs:
-            assert not np.asarray(layer.corr).any()
-
-    def test_int8_parity(self, trained):
-        cf, ds, variables, gold = trained
-        i8 = pack_int8(variables, cf)
-        out = np.asarray(i8_forward(i8, jnp.asarray(ds.x_test)))
-        assert _argmax_match(out, gold) == 1.0
-
-
 class TestQuantizedTanhMLP:
     @pytest.fixture(scope="class", params=[2, 3])
     def trained(self, request):
@@ -124,40 +94,6 @@ class TestQuantizedTanhMLP:
         lim = 2 ** (cf.abits - 1) - 1
         assert codes.dtype == np.int8
         assert codes.min() >= -lim and codes.max() <= lim
-
-
-class TestQuantizedTanhVGG:
-    @pytest.fixture(scope="class", params=[False, True],
-                    ids=["quant-head", "float-boundary"])
-    def trained(self, request):
-        cf = VGG_CF.replace(network_type="full-tnn", wbits=2, abits=2,
-                            activation="quantized_tanh",
-                            first_layer_float=request.param,
-                            last_layer_float=request.param)
-        ds, variables, gold = _train(cf, (32, 32, 3), steps=3)
-        return cf, ds, variables, gold
-
-    def test_bitplane_parity(self, trained):
-        cf, ds, variables, gold = trained
-        plane = pack_vgg_bitplane(variables, cf)
-        out = np.asarray(jax.jit(lambda m, x: m(x))(
-            plane, jnp.asarray(ds.x_test)))
-        assert _argmax_match(out, gold) == 1.0
-
-    def test_bitplane_uses_nb_planes_and_corr(self, trained):
-        cf, ds, variables, _ = trained
-        plane = pack_vgg_bitplane(variables, cf)
-        planes = plane.first(jnp.asarray(ds.x_test[:2]))
-        assert planes.shape[0] == cf.abits  # nb planes for unsigned u
-        for layer in plane.convs:
-            assert layer.corr is not None
-            assert np.asarray(layer.corr).any()  # borders really corrected
-
-    def test_int8_parity(self, trained):
-        cf, ds, variables, gold = trained
-        i8 = pack_int8(variables, cf)
-        out = np.asarray(i8_forward(i8, jnp.asarray(ds.x_test)))
-        assert _argmax_match(out, gold) == 1.0
 
 
 class TestTanhFold:
