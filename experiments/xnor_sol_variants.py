@@ -28,8 +28,6 @@ from qnx.kernels.xnor_gemm import (_interpret_default, _popcount,
 
 M, K, N = 1024, 4096, 4096
 KW = K // 32
-# v5e VPU int32 ops peak implied by the roofline module's 3-ops/word model
-OPS_PEAK = None  # report TMAC/s; fractions are relative to the best variant
 
 
 def _kernel_multiacc(x_ref, w_ref, out_ref, *, k: int, kw: int, nacc: int):
@@ -80,19 +78,25 @@ def main():
                    0.0, w)
     mask, sign, nnz = pack_ternary(wt, 0)
 
+    # block sizes are PINNED so the scan stays reproducible after the
+    # round-5 default change (default_blocks now resolves to 512x512)
     targets = {
-        "current": (lambda a, b: xnor_gemm_popcount(a, b, K), (xp, wp)),
+        "base256": (lambda a, b: xnor_gemm_popcount(
+            a, b, K, block_m=256, block_n=256), (xp, wp)),
         "acc2": (lambda a, b: xnor_multiacc(a, b, K, nacc=2), (xp, wp)),
         "acc4": (lambda a, b: xnor_multiacc(a, b, K, nacc=4), (xp, wp)),
-        "bn512": (lambda a, b: xnor_gemm_popcount(a, b, K, block_n=512),
-                  (xp, wp)),
-        "bm512": (lambda a, b: xnor_gemm_popcount(a, b, K, block_m=512),
-                  (xp, wp)),
-        "ternary": (lambda a, b: ternary_gemm(a, b, sign, nnz), (xp, mask)),
+        "bn512": (lambda a, b: xnor_gemm_popcount(
+            a, b, K, block_m=256, block_n=512), (xp, wp)),
+        "bm512bn512": (lambda a, b: xnor_gemm_popcount(
+            a, b, K, block_m=512, block_n=512), (xp, wp)),
+        "ternary256": (lambda a, b: ternary_gemm(
+            a, b, sign, nnz, block_m=256, block_n=256), (xp, mask)),
+        "ternary512": (lambda a, b: ternary_gemm(
+            a, b, sign, nnz, block_m=512, block_n=512), (xp, mask)),
     }
     # correctness first
     ref = xnor_gemm_popcount(xp, wp, K)
-    for name in ("acc2", "acc4"):
+    for name in ("acc2", "acc4", "bm512bn512"):
         out = targets[name][0](xp, wp)
         assert (out == ref).all(), name
 
@@ -100,7 +104,7 @@ def main():
     macs = M * K * N
     rows = []
     for name, r in res.items():
-        ops_per_word = 4.0 if name == "ternary" else 3.0
+        ops_per_word = 4.0 if name.startswith("ternary") else 3.0
         rows.append({
             "variant": name,
             "ms": round(r["t"] * 1e3, 3),

@@ -149,10 +149,13 @@ def time_fns_marginal_interleaved(targets: dict, *, iters: int = 32,
         median = samples[len(samples) // 2]
         est = (min(r["long"]) - min(r["short"])) / (iters - 1)
         # Under relay jitter with small iters the paired difference can come
-        # out zero/negative; clamp to a positive epsilon and FLAG it so a
-        # consumer (bench.py headline) can't emit a negative or infinite
-        # images/s without saying so (ADVICE r4).
+        # out zero/negative; fall back to the (more robust) median estimate,
+        # and only when BOTH are non-positive clamp to an epsilon — always
+        # FLAGGING it, so a consumer (bench.py headline) can't emit a
+        # negative/absurd images/s without saying so (ADVICE r4).
         unreliable = not (est > 0 and median > 0)
+        if est <= 0 < median:
+            est = median
         out[name] = {
             "t": max(est, 1e-9),
             "median": max(median, 1e-9),

@@ -352,12 +352,14 @@ def pack_vgg_bitplane(variables: dict, cf: Config) -> I.PlaneVGG:
         return latent, h, bias
 
     def weight_planes_conv(latent, h):
+        """Returns (pattern, mask, msign, alpha) — pattern is also needed by
+        the tanh branch for the (L-1)-scaled pad correction."""
         if ternary:
             pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
         else:
             pattern, alpha = _binary_pattern(latent, h), h
         mask, sign, _ = pack_conv_ternary_np(pattern)
-        return mask, mask & sign, alpha
+        return pattern, mask, mask & sign, alpha
 
     def weight_planes_dense(pattern):
         mask, sign, _ = P.pack_ternary_np(pattern, axis=0)
@@ -388,20 +390,13 @@ def pack_vgg_bitplane(variables: dict, cf: Config) -> I.PlaneVGG:
             sh, sw = sh // 2, sw // 2
         latent, h, bias = get(f"conv_{i}")
         bn = _bn(params, stats, f"bn_conv_{i}", eps)
+        pattern, mask, msign, alpha = weight_planes_conv(latent, h)
         if tanh:
-            # reuse the raw pattern for the (L-1)-scaled pad correction
-            if ternary:
-                pattern, alpha = _ternary_pattern(latent, h, cf.ternary_style)
-            else:
-                pattern, alpha = _binary_pattern(latent, h), h
             from qnx.kernels.xnor_conv import padding_correction
 
             corr = jnp.asarray(lm1 * padding_correction(pattern, sh, sw))
-            mask, sign, _ = pack_conv_ternary_np(pattern)
-            mask, msign = mask, mask & sign
         else:
-            mask, msign, alpha = weight_planes_conv(latent, h)
-            pattern, corr = None, None
+            corr = None
         lt = fold_bn_levels(bn["gamma"], bn["beta"], bn["mean"], bn["var"],
                             eps, nb, alpha=alpha * q,
                             bias=in_bias(alpha, bias, pattern, (0, 1, 2)),

@@ -187,14 +187,12 @@ class I8Conv(struct.PyTreeNode):
     fused: bool = struct.field(pytree_node=False, default=False)
 
     def __call__(self, x8: Array) -> Array:
-        if self.fused:
+        if self.fused and self.act in ("pm1", "levels"):
             # single Pallas kernel: conv + threshold (+pool) without the
             # int32 HBM round-trip (see qnx.kernels.i8_conv_fused; bit-
-            # identical, benchmarked per shape — XLA's conv wins on most)
-            if self.act not in ("pm1", "levels"):
-                raise NotImplementedError(
-                    f"i8_conv_fused supports pm1/levels epilogues; act="
-                    f"{self.act!r} runs the (XLA-conv) unfused path")
+            # identical, benchmarked per shape — XLA's conv wins on most).
+            # 'zo'/'tanh' epilogues have no fused variant and fall through
+            # to the (XLA-conv) unfused path below.
             from qnx.kernels.i8_conv_fused import i8_conv_fused
 
             levels = 1 if self.act == "pm1" else int(self.tau.shape[0])

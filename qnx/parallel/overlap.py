@@ -44,11 +44,18 @@ def _default_gemm(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def allgather_gemm_overlapped(x: jax.Array, w: jax.Array, mesh: Mesh,
-                              gemm: Callable | None = None) -> jax.Array:
+                              gemm: Callable | None = None,
+                              batch_axis: str | None = None) -> jax.Array:
     """out = x @ w with the activation all-gather overlapped with compute.
 
     x: (M, K), K-sharded over MODEL_AXIS; w: (K, N), N-sharded (resident).
     Returns (M, N), N-sharded over MODEL_AXIS.
+
+    ``batch_axis`` additionally shards M over that mesh axis (the serving
+    path passes 'data' so DP composes with the ring: each data group runs
+    its own independent model-axis ring over its batch slice — without it
+    the full batch's GEMM would run redundantly in every data group).
+    M must divide the axis size; None keeps M unsharded.
 
     Ring schedule: at every step each device starts forwarding its current
     activation chunk to the next ring neighbour, then multiplies that chunk
@@ -61,8 +68,8 @@ def allgather_gemm_overlapped(x: jax.Array, w: jax.Array, mesh: Mesh,
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, MODEL_AXIS), P(None, MODEL_AXIS)),
-        out_specs=P(None, MODEL_AXIS),
+        in_specs=(P(batch_axis, MODEL_AXIS), P(None, MODEL_AXIS)),
+        out_specs=P(batch_axis, MODEL_AXIS),
         # the per-chunk gemm may be a pallas_call (ring popcount path),
         # whose ShapeDtypeStruct carries no varying-manual-axes annotation;
         # the kernel is purely local so vma checking adds nothing here

@@ -31,10 +31,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from qnx.parallel.mesh import MODEL_AXIS
+from qnx.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from qnx.parallel.overlap import allgather_gemm_overlapped
 
 WORD = 32
+
+
+def _batch_axis(mesh: Mesh, batch: int):
+    """'data' when the batch splits evenly over the data axis (DP composes
+    with the ring — each data group runs its own model-axis ring on its
+    batch slice), else None (replicate rather than crash on odd batches)."""
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    return DATA_AXIS if dp > 1 and batch % dp == 0 else None
 
 
 def ring_xnor_gemm(xp: jax.Array, wp: jax.Array, k: int, mesh: Mesh) -> jax.Array:
@@ -55,7 +63,8 @@ def ring_xnor_gemm(xp: jax.Array, wp: jax.Array, k: int, mesh: Mesh) -> jax.Arra
     def chunk_gemm(a, b):
         return xnor_gemm_popcount(a, b, a.shape[1] * WORD)
 
-    s = allgather_gemm_overlapped(xp, wp, mesh, gemm=chunk_gemm)
+    s = allgather_gemm_overlapped(xp, wp, mesh, gemm=chunk_gemm,
+                                  batch_axis=_batch_axis(mesh, xp.shape[0]))
     return s + jnp.int32(k - WORD * xp.shape[1])
 
 
@@ -104,13 +113,14 @@ def tp_mlp_forward(model, x: jax.Array, mesh: Mesh) -> jax.Array:
     of model bytes).  Bit-identical to the single-device
     :func:`qnx.nn.inference.mlp_forward`."""
     x = x.reshape(x.shape[0], -1)
+    ba = _batch_axis(mesh, x.shape[0])
     bits = model.first(x)  # GSPMD: kernel N-sharded -> bits N-word-sharded
-    bits = _shard(mesh, bits, P(None, MODEL_AXIS))
+    bits = _shard(mesh, bits, P(ba, MODEL_AXIS))
     for layer in model.hidden:
         s = ring_xnor_gemm(bits, layer.wp, layer.k, mesh)
         bits = _shard(mesh, _code_bits(s, layer.sgn, layer.tau),
-                      P(None, MODEL_AXIS))
-    bits = _shard(mesh, bits, P())  # gather once for the replicated head
+                      P(ba, MODEL_AXIS))
+    bits = _shard(mesh, bits, P(ba))  # gather words for the replicated head
     return model.head(bits)
 
 
@@ -124,11 +134,12 @@ def tp_vgg_forward(model, x: jax.Array, mesh: Mesh) -> jax.Array:
         bits = layer(bits)
     b = bits.shape[0]
     bits = bits.reshape(b, -1)
+    ba = _batch_axis(mesh, b)
     for layer in model.denses:
-        bits = _shard(mesh, bits, P(None, MODEL_AXIS))
+        bits = _shard(mesh, bits, P(ba, MODEL_AXIS))
         s = ring_xnor_gemm(bits, layer.wp, layer.k, mesh)
         bits = _code_bits(s, layer.sgn, layer.tau)
-    bits = _shard(mesh, bits, P())
+    bits = _shard(mesh, bits, P(ba))
     return model.head(bits)
 
 

@@ -28,6 +28,10 @@ VGG_CF = Config(dataset="synthetic-cifar", architecture="vgg", width=8,
 _CACHE: dict = {}
 
 
+def _argmax_match(out, gold):
+    return float(np.mean(np.argmax(out, -1) == np.argmax(gold, -1)))
+
+
 def train_golden(cf, shape, steps=5, batch=16):
     """Train ``steps`` small batches, return (ds, variables, gold_logits);
     memoized per (cf, shape, steps, batch)."""

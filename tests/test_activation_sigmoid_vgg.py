@@ -1,35 +1,35 @@
 """binary_sigmoid VGG engine lowering (split from
 test_activation_lowering.py so each file fits the per-file on-chip
-timeout — VERDICT r4 Missing #4)."""
-import jax
+timeout — VERDICT r4 Missing #4).  Covers binary AND ternary weights: the
+ternary conv path exercises the corr-zeroing + full-kernel sum_w fold on
+TernaryConvBits."""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qnx.convert.pack_model import (pack_int8, pack_mlp, pack_vgg,
-                                    pack_vgg_bitplane)
-from qnx.nn.inference import mlp_forward, vgg_forward
+from qnx.convert.pack_model import pack_int8, pack_vgg
+from qnx.nn.inference import vgg_forward
 from qnx.nn.int8_engine import i8_forward
 from qnx.utils.config import Config
 
-from engine_test_utils import train_golden as _train
+from engine_test_utils import _argmax_match, train_golden as _train
 
 VGG_CF = Config(dataset="synthetic-cifar", architecture="vgg", width=8,
                 dense_units=64, H=1.0)
 
 
-def _argmax_match(out, gold):
-    return float(np.mean(np.argmax(out, -1) == np.argmax(gold, -1)))
-
-
 class TestBinarySigmoidVGG:
-    @pytest.fixture(scope="class", params=[False, True],
-                    ids=["quant-head", "float-boundary"])
+    @pytest.fixture(scope="class",
+                    params=[("full-bnn", False), ("full-bnn", True),
+                            ("full-tnn", False)],
+                    ids=["bnn-quant-head", "bnn-float-boundary",
+                         "tnn-quant-head"])
     def trained(self, request):
-        cf = VGG_CF.replace(network_type="full-bnn",
+        nt, float_boundary = request.param
+        cf = VGG_CF.replace(network_type=nt,
                             activation="binary_sigmoid",
-                            first_layer_float=request.param,
-                            last_layer_float=request.param)
+                            first_layer_float=float_boundary,
+                            last_layer_float=float_boundary)
         ds, variables, gold = _train(cf, (32, 32, 3), steps=3)
         return cf, ds, variables, gold
 

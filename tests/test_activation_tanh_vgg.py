@@ -5,20 +5,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from qnx.convert.pack_model import (pack_int8, pack_mlp, pack_vgg,
-                                    pack_vgg_bitplane)
-from qnx.nn.inference import mlp_forward, vgg_forward
+from qnx.convert.pack_model import pack_int8, pack_vgg_bitplane
 from qnx.nn.int8_engine import i8_forward
 from qnx.utils.config import Config
 
-from engine_test_utils import train_golden as _train
+from engine_test_utils import _argmax_match, train_golden as _train
 
 VGG_CF = Config(dataset="synthetic-cifar", architecture="vgg", width=8,
                 dense_units=64, H=1.0)
-
-
-def _argmax_match(out, gold):
-    return float(np.mean(np.argmax(out, -1) == np.argmax(gold, -1)))
 
 
 class TestQuantizedTanhVGG:
