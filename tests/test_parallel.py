@@ -210,6 +210,8 @@ class TestRingTPForward:
         np.testing.assert_allclose(out, gold, atol=1e-5, rtol=1e-5)
 
     def test_tp_supported_guards(self):
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 devices")
         from qnx.parallel.tp_forward import tp_supported
 
         cf, ds, packed = self._train_packed_mlp(dim=96)  # 96 % 64 != 0
